@@ -1,0 +1,34 @@
+"""FM quadrature discriminator and IQ conditioning.
+
+Reference formula (demod/mod/demod_mod.c:728,773 and scan/dft_detect.c):
+    s_fm[t] = gain * arg( z[t] * conj(z[t-1]) ) / pi,   gain = 0.8
+i.e. instantaneous frequency normalised to +/-1 at Nyquist, times 0.8.
+Batched, one fused VPU pass on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+
+FM_GAIN = 0.8  # reference demod/mod/demod_mod.c:22
+
+
+def fm_discriminate(z: jnp.ndarray, gain: float = FM_GAIN) -> jnp.ndarray:
+    """[..., T] complex IQ -> [..., T] float FM audio (first sample ~0)."""
+    zprev = jnp.concatenate([z[..., :1], z[..., :-1]], axis=-1)
+    w = z * jnp.conj(zprev)
+    return (gain / jnp.pi) * jnp.arctan2(w.imag, w.real).astype(jnp.float32)
+
+
+def iq_dc_removal(z: jnp.ndarray, alpha: float | None = None) -> jnp.ndarray:
+    """Remove the complex DC term over the block (the reference's iq_dec
+    --dc / dft_detect --dc stage, scan/dft_detect.c:546-591 uses a 0.98
+    leaky estimate; block-mean is the static-shape equivalent)."""
+    dc = jnp.mean(z, axis=-1, keepdims=True)
+    return z - 0.98 * dc
+
+
+def dc_offset(z: jnp.ndarray) -> jnp.ndarray:
+    """Block-mean DC term — doubles as a residual-carrier frequency estimate
+    after FM discrimination (df = sr * dc / (2*FM_GAIN),
+    reference demod/mod/demod_mod.c:298)."""
+    return jnp.mean(z, axis=-1)
