@@ -1,0 +1,211 @@
+"""Batch-vectorized Reed-Solomon errors-and-erasures codec.
+
+Decoding algorithm: Berlekamp-Massey with erasure initialisation + Chien
+search + Forney, instead of the reference's extended-Euclid
+(reference demod/mod/bch_ecc_mod.c rs_decode_ErrEra :877-960) — BM runs a
+*fixed* 2t-iteration schedule with only elementwise selects, so one code
+path decodes a whole batch of codewords at once (numpy here; the same
+structure jit-compiles if moved on-device).
+
+Codeword convention matches the reference: ``cw[i]`` is the coefficient of
+X^i, ``cw[0:R]`` parity, ``cw[R:N]`` message; generator roots
+beta^(b..b+2t-1) with beta = alpha^p.
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from radiosonde_auto_rx_tpu.ecc.gf import GF, GF256_RS, GF256_CCSDS
+
+
+@dataclass
+class RSCode:
+    gf: GF
+    n: int          # codeword length (= gf.q - 1)
+    k: int          # message symbols
+    b: int          # first consecutive generator root exponent
+    g: np.ndarray = field(init=False)   # generator polynomial [R+1]
+
+    def __post_init__(self):
+        R = self.n - self.k
+        g = np.zeros(1, dtype=np.int64)
+        g = np.array([1], dtype=np.int64)
+        for i in range(R):
+            root = self.gf.pow_beta(self.b + i)
+            # g *= (X - root) == (X + root) in GF(2^m)
+            g = self.gf.poly_mul(g, np.array([root, 1], dtype=np.int64))
+        self.g = g
+
+    @property
+    def r(self) -> int:
+        return self.n - self.k
+
+    @property
+    def t(self) -> int:
+        return self.r // 2
+
+    # ------------------------------------------------------------------
+    def encode(self, msg: np.ndarray) -> np.ndarray:
+        """msg [..., K] -> codeword [..., N] with parity in cw[..., :R].
+
+        Systematic: c(X) = msg(X)*X^R + (msg(X)*X^R mod g(X)).
+        """
+        msg = np.asarray(msg, dtype=np.int64)
+        batch = msg.shape[:-1]
+        R = self.r
+        cw = np.zeros(batch + (self.n,), dtype=np.int64)
+        cw[..., R:] = msg
+        # long division: process message coefficients from the top down
+        rem = np.zeros(batch + (R,), dtype=np.int64)
+        for i in range(self.n - 1, R - 1, -1):
+            fb = rem[..., -1] ^ cw[..., i]
+            rem[..., 1:] = rem[..., :-1]
+            rem[..., 0] = 0
+            # rem ^= fb * g[:R]  (g monic: top term handled by the shift)
+            rem ^= self.gf.mul(fb[..., None], self.g[:R])
+        cw[..., :R] = rem
+        return cw
+
+    # ------------------------------------------------------------------
+    def syndromes(self, cw: np.ndarray) -> np.ndarray:
+        """S[..., i] = c(beta^(b+i)), i = 0..R-1."""
+        cw = np.asarray(cw, dtype=np.int64)
+        R = self.r
+        # S_i = XOR_j cw[j] * beta^((b+i)*j): exponent matrix gather
+        j = np.arange(self.n)
+        S = np.zeros(cw.shape[:-1] + (R,), dtype=np.int64)
+        logc = self.gf.log[cw]
+        nz = cw != 0
+        for i in range(R):
+            e = ((self.b + i) * j) % self.gf.n
+            terms = np.where(nz, self.gf.exp[logc + e], 0)
+            S[..., i] = np.bitwise_xor.reduce(terms, axis=-1)
+        return S
+
+    # ------------------------------------------------------------------
+    def decode(self, cw: np.ndarray, erase_pos: np.ndarray | None = None,
+               n_era: np.ndarray | None = None):
+        """Correct up to t errors (2*errors + erasures <= 2t) in place.
+
+        cw: [..., N] int array (modified in place with corrections).
+        erase_pos: [..., E] erasure positions (int), valid count per row in
+            n_era [...] (0 if None).
+        Returns n_corrected [...] int array, -1 where uncorrectable.
+        Matches reference rs_decode/rs_decode_ErrEra semantics
+        (bch_ecc_mod.c:877-966).
+        """
+        gf = self.gf
+        cw = np.asarray(cw)
+        batch = cw.shape[:-1]
+        R, t = self.r, self.t
+
+        S = self.syndromes(cw)                       # [..., R]
+        all_zero = ~np.any(S != 0, axis=-1)          # already a codeword
+
+        # erasure locator Gamma(x) = prod (1 - X_j x), deg counts per row
+        E = 0 if erase_pos is None else erase_pos.shape[-1]
+        Lam = np.zeros(batch + (R + 1,), dtype=np.int64)
+        Lam[..., 0] = 1
+        rho = np.zeros(batch, dtype=np.int64)
+        if E:
+            n_era = np.asarray(n_era, dtype=np.int64)
+            rho = n_era
+            for e in range(E):
+                active = e < n_era                   # [...]
+                Xj = gf.pow_beta(erase_pos[..., e])
+                term = np.zeros_like(Lam)
+                term[..., 1:] = gf.mul(Xj[..., None], Lam[..., :-1])
+                Lam = np.where(active[..., None], Lam ^ term, Lam)
+
+        # Berlekamp-Massey with erasure init: Lambda=B=Gamma, L=rho,
+        # iterate r = rho..2t-1.  All rows run all 2t steps; rows whose
+        # rho is larger simply no-op the early steps.
+        B = Lam.copy()
+        L = rho.copy()
+        bval = np.ones(batch, dtype=np.int64)
+        m = np.ones(batch, dtype=np.int64)
+        for r_it in range(R):
+            step_active = r_it >= rho                # [...]
+            # discrepancy Delta = sum_i Lam_i * S_{r-i}
+            delta = np.zeros(batch, dtype=np.int64)
+            for i in range(min(r_it, R) + 1):
+                delta ^= gf.mul(Lam[..., i], S[..., r_it - i])
+            upd = step_active & (delta != 0)
+            grow = upd & (2 * L <= r_it + rho)
+            # shift = x^m * B
+            coef = gf.div(delta, bval)               # delta/b
+            xmB = np.zeros_like(Lam)
+            # x^m shift with per-row m: gather-based shift
+            idx = np.arange(R + 1)
+            src = idx[None, :] - m.reshape(-1, 1)    # flatten batch
+            Bf = B.reshape(-1, R + 1)
+            valid = src >= 0
+            xmBf = np.where(valid, np.take_along_axis(
+                Bf, np.clip(src, 0, R), axis=1), 0)
+            xmB = xmBf.reshape(Lam.shape)
+            newLam = Lam ^ gf.mul(coef[..., None], xmB)
+            # updates
+            B = np.where(grow[..., None], Lam, B)
+            Lam = np.where(upd[..., None], newLam, Lam)
+            newL = r_it + 1 + rho - L
+            bval = np.where(grow, delta, bval)
+            L = np.where(grow, newL, L)
+            m = np.where(grow, 1, np.where(step_active, m + 1, m))
+
+        # Chien search: roots of Lambda at X_j^{-1}, X_j = beta^j
+        j = np.arange(self.n)
+        # V[..., j] = Lambda(beta^{-j})
+        V = np.zeros(batch + (self.n,), dtype=np.int64)
+        for kk in range(R + 1):
+            lk = Lam[..., kk]
+            e = (-kk * j) % gf.n
+            V ^= np.where(lk[..., None] != 0,
+                          gf.exp[gf.log[lk][..., None] + e[None, :]], 0)
+        is_root = (V == 0)                            # [..., N]
+        n_roots = is_root.sum(axis=-1)
+
+        # Forney: Omega(x) = S(x)Lambda(x) mod x^R
+        Om = np.zeros(batch + (R,), dtype=np.int64)
+        for i in range(R):
+            acc = np.zeros(batch, dtype=np.int64)
+            for kk in range(min(i, R) + 1):
+                acc ^= gf.mul(Lam[..., kk], S[..., i - kk])
+            Om[..., i] = acc
+        # Lambda'(x): odd coefficients
+        dLam = Lam[..., 1::2]                          # coeffs of x^{2i}
+        # error value at j: e_j = X_j^{1-b} * Om(X_j^{-1}) / Lam'(X_j^{-1})
+        Xinv_e = (-j) % gf.n                           # exponents of X_j^{-1}
+        ev = np.zeros(batch + (self.n,), dtype=np.int64)
+        om_v = np.zeros(batch + (self.n,), dtype=np.int64)
+        for i in range(R):
+            oi = Om[..., i]
+            e = (Xinv_e * i) % gf.n
+            om_v ^= np.where(oi[..., None] != 0,
+                             gf.exp[gf.log[oi][..., None] + e[None, :]], 0)
+        dl_v = np.zeros(batch + (self.n,), dtype=np.int64)
+        for i2 in range(dLam.shape[-1]):
+            di = dLam[..., i2]
+            e = (Xinv_e * (2 * i2)) % gf.n
+            dl_v ^= np.where(di[..., None] != 0,
+                             gf.exp[gf.log[di][..., None] + e[None, :]], 0)
+        Xpow = gf.pow_beta((1 - self.b) * j)           # X_j^{1-b}
+        ev = gf.mul(Xpow[None, :] if ev.ndim > 1 else Xpow,
+                    gf.div(om_v, np.where(dl_v == 0, 1, dl_v)))
+        ev = np.where(is_root & (dl_v != 0), ev, 0)
+
+        corrected = cw ^ ev
+        # success check: L roots found, L == deg(Lambda) implied; verify
+        # syndromes of corrected word are zero
+        S2 = self.syndromes(corrected)
+        ok = ~np.any(S2 != 0, axis=-1) & (n_roots == L)
+        ok = ok | all_zero
+        # write back corrections only for successful rows
+        sel = (ok & ~all_zero)[..., None]
+        cw[...] = np.where(sel, corrected, cw)
+        n_corr = np.where(all_zero, 0, np.where(ok, n_roots, -1))
+        return n_corr
+
+
+RS255_231 = RSCode(GF256_RS, 255, 231, b=0)        # RS41/RS92
+RS255_223_CCSDS = RSCode(GF256_CCSDS, 255, 223, b=112)  # LMS6
