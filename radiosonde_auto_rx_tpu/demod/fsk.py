@@ -4,26 +4,31 @@ Algorithm re-derived from the codec2 fsk modem the reference pipes IQ through
 (reference utils/fsk.c: fsk_demod_freq_est :438-590, fsk_demod_core :593-915),
 re-structured for XLA:
 
+* **Real-valued IQ planes.** IQ is carried as float32 ``[C, 2, T]``
+  (re/im planes), not complex64: TPU hardware has no complex ALU — XLA
+  lowers complex to real pairs anyway, and the explicit form lets every
+  spectral transform become an MXU matmul.  ``complex64`` input is accepted
+  and split at the boundary.
+* **DFT as matmul.** The reference's kiss-FFT frequency estimator
+  (fsk.c:465-503) becomes one batched matmul against precomputed
+  windowed-DFT matrices ``[ndft, ndft]`` — for the small Ndft here
+  (fs/(0.1·Rs) rounded to 2^k, typically 128–1024) an O(N²) matmul on the
+  128×128 systolic array beats any radix FFT and needs no FFT support from
+  the backend.
 * **Static shapes.** The reference adapts its per-call sample count
   ``nin = N±Ts/2`` to track the sample clock (fsk.c:724-731).  Here every
-  block is a fixed ``Nmem``-sample window gathered by ``dynamic_slice`` from
-  the channel stream at a per-channel pointer that advances by ``nin`` —
-  same clock tracking, fixed shapes.
+  block is a fixed ``Nmem``-sample window gathered by ``dynamic_slice`` at a
+  per-channel pointer that advances by ``nin`` — same clock tracking, fixed
+  shapes.
 * **Batch over channels.** All state (spectral EMA ``Sf``, timing, ppm,
   pointer) has a leading ``[C]`` axis; one ``lax.scan`` over time blocks
   demodulates every channel in lockstep.
 * **Tone integration as dense math.** Per-tone downconversion + integrate-
   and-dump at P timing offsets (fsk.c:644-668) becomes: NCO rotate
-  (VPU), segment partial sums (reshape+reduce), and a P-term shifted-slice
-  sum — no per-sample loops. Only magnitudes are consumed downstream, so
-  the reference's carried oscillator phase ``phi_c`` (only needed for
-  click-free streaming in C) drops out of the non-coherent math.
-* **Frequency estimation.** The per-block hann-window FFT hops + EMA
-  (fsk.c:465-503) become one batched FFT ``[C, numffts, Ndft]`` and an
-  *exact* closed-form EMA update (weighted sum over the hop axis), so no
-  sequential loop inside the block.  Peak picking with tone-spacing
-  blanking and the "mask" correlation estimator (fsk.c:549-581) are both
-  implemented.
+  (VPU sin/cos), segment partial sums (reshape+reduce), and a P-term
+  shifted-slice sum — no per-sample loops.  Only magnitudes are consumed
+  downstream, so the reference's carried oscillator phase ``phi_c`` (only
+  needed for click-free streaming audio in C) drops out.
 
 Soft-decision conventions match the reference exactly so that frames can be
 validated bit-for-bit against the reference decoders:
@@ -38,8 +43,6 @@ import math
 import numpy as np
 import jax
 import jax.numpy as jnp
-
-from radiosonde_auto_rx_tpu.ops.windows import hann_symmetric
 
 
 @dataclass(frozen=True)
@@ -115,6 +118,19 @@ class FSKConfig:
         return self.n + self.ts // 2
 
 
+def iq_planes(x: jnp.ndarray) -> jnp.ndarray:
+    """Normalize IQ input to float32 [C, 2, T] (re, im planes).
+
+    Accepts complex64 [C, T] / [T], or already-split [C, 2, T].
+    """
+    if jnp.iscomplexobj(x):
+        if x.ndim == 1:
+            x = x[None, :]
+        return jnp.stack([x.real, x.imag], axis=1).astype(jnp.float32)
+    assert x.ndim == 3 and x.shape[1] == 2, "real input must be [C, 2, T]"
+    return x.astype(jnp.float32)
+
+
 # Per-channel demod carry: a plain dict pytree with keys
 #   sf [C, ndft], timing [C], ppm [C], ptr [C], nin [C].
 FSKState = dict
@@ -131,28 +147,55 @@ def fsk_init_state(cfg: FSKConfig, channels: int) -> FSKState:
 
 
 # ----------------------------------------------------------------------------
+# windowed-DFT matrices (host precompute; fftshifted columns)
+# ----------------------------------------------------------------------------
+
+def _dft_mats(cfg: FSKConfig):
+    """Windowed DFT as two real matmul operands [ndft, ndft]:
+    X_re = xr @ Wc + xi @ Ws ;  X_im = xi @ Wc - xr @ Ws
+    for X_k = sum_n w_n x_n e^{-2πi n k / N}, columns fftshifted."""
+    n = cfg.ndft
+    # hann window, symmetric (fsk.c:451: 0.5 - 0.5 cos(2πn/(N-1)))
+    idx = np.arange(n)
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * idx / (n - 1))
+    k = np.concatenate([np.arange(-n // 2, 0), np.arange(0, n // 2)])
+    # column order after fftshift: bin b corresponds to freq (b - n/2)
+    kcol = np.arange(n) - n // 2
+    ang = 2 * np.pi * np.outer(idx, kcol) / n
+    wc = (win[:, None] * np.cos(ang)).astype(np.float32)
+    ws = (win[:, None] * np.sin(ang)).astype(np.float32)
+    return wc, ws
+
+
+# ----------------------------------------------------------------------------
 # frequency estimation
 # ----------------------------------------------------------------------------
 
 def _freq_est(cfg: FSKConfig, xw: jnp.ndarray, sf: jnp.ndarray):
     """Update spectral EMA and estimate the M tone frequencies.
 
-    xw: [C, nmem] complex64 window;  sf: [C, ndft] EMA carry.
+    xw: [C, 2, nmem] float32 window;  sf: [C, ndft] EMA carry.
     Returns (f_est [C, M] in Hz, new sf).
     """
     C = xw.shape[0]
     ndft, half = cfg.ndft, cfg.ndft // 2
     nf = cfg.numffts
 
-    # FFT hops over the newest N samples (the reference FFTs the new nin
+    # DFT hops over the newest N samples (the reference FFTs the new nin
     # samples only, fsk.c:465-468).
     starts = (cfg.nmem - cfg.n) + np.arange(nf) * half            # [nf]
     idx = starts[:, None] + np.arange(ndft)[None, :]              # [nf, ndft]
-    segs = xw[:, idx]                                             # [C, nf, ndft]
-    win = hann_symmetric(ndft)
-    spec = jnp.fft.fft(segs * win, axis=-1)
-    mag = jnp.abs(spec).astype(jnp.float32)
-    mag = jnp.fft.fftshift(mag, axes=-1)                          # DC at ndft/2
+    segs = xw[:, :, idx]                                          # [C, 2, nf, ndft]
+    xr, xi = segs[:, 0], segs[:, 1]                               # [C, nf, ndft]
+
+    wc, ws = _dft_mats(cfg)
+    wc = jnp.asarray(wc)
+    ws = jnp.asarray(ws)
+    x_re = jnp.einsum("cnd,de->cne", xr, wc) + \
+        jnp.einsum("cnd,de->cne", xi, ws)
+    x_im = jnp.einsum("cnd,de->cne", xi, wc) - \
+        jnp.einsum("cnd,de->cne", xr, ws)
+    mag = jnp.sqrt(x_re * x_re + x_im * x_im)                     # [C, nf, ndft]
 
     # Exact closed form of the per-hop EMA Sf = Sf*(1-tc) + tc*mag (fsk.c:500)
     tc = cfg.tc
@@ -218,7 +261,7 @@ def _mask_estimate(cfg: FSKConfig, sf: jnp.ndarray, st: int, en: int):
 def fsk_demod_block(cfg: FSKConfig, xw: jnp.ndarray, state: FSKState):
     """Demodulate one window.
 
-    xw: [C, nmem] complex64.
+    xw: [C, 2, nmem] float32 IQ planes.
     Returns (out dict, new partial state).  out contains:
       soft  [C, nsym*bps] float32 soft decisions (reference sign conventions)
       bits  [C, nsym*bps] uint8 hard bits
@@ -228,27 +271,38 @@ def fsk_demod_block(cfg: FSKConfig, xw: jnp.ndarray, state: FSKState):
     M, P, nsym = cfg.m, cfg.p, cfg.nsym
 
     f_est, sf_new = _freq_est(cfg, xw, state["sf"])
+    xr, xi = xw[:, 0], xw[:, 1]                                   # [C, nmem]
 
     # --- tone downconvert + integrate-and-dump (fsk.c:644-668) ---
+    # e^{-2πi f t}: cos/sin of the wrapped phase (range-reduced on the VPU)
     t = jnp.arange(cfg.nmem, dtype=jnp.float32)
     k = f_est / np.float32(cfg.fs)                                # [C, M]
     ph = k[:, :, None] * t[None, None, :]
-    ph = ph - jnp.floor(ph)
-    lo = jnp.exp((-2j * jnp.pi) * ph).astype(jnp.complex64)       # [C, M, nmem]
-    dc = xw[:, None, :] * lo
+    ph = ph - jnp.floor(ph)                                       # [0, 1)
+    ang = (2.0 * np.pi) * ph
+    c = jnp.cos(ang)
+    s = jnp.sin(ang)
+    dc_re = xr[:, None, :] * c + xi[:, None, :] * s               # [C, M, nmem]
+    dc_im = xi[:, None, :] * c - xr[:, None, :] * s
 
     nps = cfg.nmem // cfg.tsp                                     # = (nsym+2)*P
-    ps = dc.reshape(C, M, nps, cfg.tsp).sum(axis=-1)              # [C, M, nps]
+    ps_re = dc_re.reshape(C, M, nps, cfg.tsp).sum(axis=-1)        # [C, M, nps]
+    ps_im = dc_im.reshape(C, M, nps, cfg.tsp).sum(axis=-1)
     ni = (nsym + 1) * P
-    f_int = ps[:, :, 0:ni]
+    fi_re = ps_re[:, :, 0:ni]
+    fi_im = ps_im[:, :, 0:ni]
     for pp in range(1, P):
-        f_int = f_int + ps[:, :, pp:pp + ni]                      # [C, M, ni]
+        fi_re = fi_re + ps_re[:, :, pp:pp + ni]                   # [C, M, ni]
+        fi_im = fi_im + ps_im[:, :, pp:pp + ni]
 
     # --- fine timing from the |.|^2 spectral line at Rs (fsk.c:677-708) ---
-    ft1 = jnp.sum(f_int.real**2 + f_int.imag**2, axis=1)          # [C, ni]
-    rot = jnp.exp((2j * jnp.pi / P) * jnp.arange(ni))
-    t_c = jnp.sum(ft1 * rot[None, :].astype(jnp.complex64), axis=-1)
-    norm_timing = jnp.arctan2(t_c.imag, t_c.real) / (2.0 * jnp.pi)  # [-0.5, 0.5]
+    ft1 = jnp.sum(fi_re * fi_re + fi_im * fi_im, axis=1)          # [C, ni]
+    rot = np.exp(2j * np.pi / P * np.arange(ni))
+    rot_re = jnp.asarray(rot.real.astype(np.float32))
+    rot_im = jnp.asarray(rot.imag.astype(np.float32))
+    tc_re = jnp.sum(ft1 * rot_re[None, :], axis=-1)
+    tc_im = jnp.sum(ft1 * rot_im[None, :], axis=-1)
+    norm_timing = jnp.arctan2(tc_im, tc_re) / (2.0 * np.pi)       # [-0.5, 0.5]
     rx_timing = norm_timing * P
 
     # --- sample clock tracking (fsk.c:713-731) ---
@@ -266,10 +320,15 @@ def fsk_demod_block(cfg: FSKConfig, xw: jnp.ndarray, state: FSKState):
     st_idx = (jnp.arange(nsym, dtype=jnp.int32) + 1) * P          # [nsym]
     gidx = st_idx[None, :] + low[:, None]                         # [C, nsym]
     gidx = jnp.clip(gidx, 0, ni - 2)
-    gl = jnp.take_along_axis(f_int, gidx[:, None, :].repeat(M, 1), axis=2)
-    gh = jnp.take_along_axis(f_int, (gidx + 1)[:, None, :].repeat(M, 1), axis=2)
-    v = gl * (1.0 - fract)[:, None, None] + gh * fract[:, None, None]
-    tmag = jnp.abs(v).astype(jnp.float32)                         # [C, M, nsym]
+    gexp = gidx[:, None, :].repeat(M, 1)
+    vl_re = jnp.take_along_axis(fi_re, gexp, axis=2)
+    vl_im = jnp.take_along_axis(fi_im, gexp, axis=2)
+    vh_re = jnp.take_along_axis(fi_re, gexp + 1, axis=2)
+    vh_im = jnp.take_along_axis(fi_im, gexp + 1, axis=2)
+    fr = fract[:, None, None]
+    v_re = vl_re * (1.0 - fr) + vh_re * fr
+    v_im = vl_im * (1.0 - fr) + vh_im * fr
+    tmag = jnp.sqrt(v_re * v_re + v_im * v_im)                    # [C, M, nsym]
 
     # --- hard bits + soft decisions (fsk.c:760-805) ---
     sym = jnp.argmax(tmag, axis=1)                                # [C, nsym]
@@ -309,10 +368,11 @@ def fsk_num_blocks(cfg: FSKConfig, t_samples: int) -> int:
 @partial(jax.jit, static_argnames=("cfg", "n_blocks"))
 def _fsk_demod_scan(cfg: FSKConfig, x: jnp.ndarray, state: FSKState,
                     n_blocks: int):
+    """x: [C, 2, T] float32 IQ planes."""
     def body(st, _):
         start = st["ptr"] - cfg.nmem
         win = jax.vmap(
-            lambda xc, s: jax.lax.dynamic_slice(xc, (s,), (cfg.nmem,))
+            lambda xc, s: jax.lax.dynamic_slice(xc, (0, s), (2, cfg.nmem))
         )(x, start)
         out, new_partial = fsk_demod_block(cfg, win, st)
         new_state = FSKState(
@@ -330,15 +390,14 @@ def _fsk_demod_scan(cfg: FSKConfig, x: jnp.ndarray, state: FSKState,
 
 def fsk_demod_stream(cfg: FSKConfig, x: jnp.ndarray,
                      state: FSKState | None = None):
-    """Demodulate [C, T] (or [T]) complex64 IQ.
+    """Demodulate IQ: complex64 [C, T] / [T], or float32 planes [C, 2, T].
 
     Returns (soft [C, total_bits], bits [C, total_bits], stats dict, state).
     Stats arrays are [C, n_blocks] (f_est is [C, n_blocks, M]).
     """
-    squeeze = x.ndim == 1
-    if squeeze:
-        x = x[None, :]
-    C, T = x.shape
+    squeeze = jnp.iscomplexobj(x) and x.ndim == 1
+    x = iq_planes(x)
+    C, _, T = x.shape
     if state is None:
         state = fsk_init_state(cfg, C)
     nb = fsk_num_blocks(cfg, T)

@@ -23,28 +23,26 @@ def register(name):
     return deco
 
 
+_MODEL_MODULES = [
+    "rs41", "dfm", "m10", "imet54", "mrz", "lms6", "meisei", "mts01",
+    "imet4", "weathex", "rs92", "dropsonde", "mk2lms",
+]
+
+
+def _load_all():
+    import importlib
+    for mod in _MODEL_MODULES:
+        try:
+            importlib.import_module(f"radiosonde_auto_rx_tpu.models.{mod}")
+        except ImportError:
+            pass
+
+
 def get_model(name: str):
-    # lazy imports so a single model's deps never block the others
-    import radiosonde_auto_rx_tpu.models.rs41  # noqa: F401
-    try:
-        import radiosonde_auto_rx_tpu.models.dfm  # noqa: F401
-        import radiosonde_auto_rx_tpu.models.m10  # noqa: F401
-        import radiosonde_auto_rx_tpu.models.m20  # noqa: F401
-        import radiosonde_auto_rx_tpu.models.imet54  # noqa: F401
-        import radiosonde_auto_rx_tpu.models.mrz  # noqa: F401
-        import radiosonde_auto_rx_tpu.models.lms6  # noqa: F401
-        import radiosonde_auto_rx_tpu.models.meisei  # noqa: F401
-        import radiosonde_auto_rx_tpu.models.mts01  # noqa: F401
-        import radiosonde_auto_rx_tpu.models.imet4  # noqa: F401
-        import radiosonde_auto_rx_tpu.models.weathex  # noqa: F401
-        import radiosonde_auto_rx_tpu.models.rs92  # noqa: F401
-        import radiosonde_auto_rx_tpu.models.dropsonde  # noqa: F401
-        import radiosonde_auto_rx_tpu.models.mk2lms  # noqa: F401
-    except ImportError:
-        pass
+    _load_all()
     return _REGISTRY[name]
 
 
 def available_models():
-    get_model("RS41")
+    _load_all()
     return dict(_REGISTRY)

@@ -26,7 +26,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from radiosonde_auto_rx_tpu.demod.fsk import (
-    FSKConfig, fsk_init_state, fsk_num_blocks, _fsk_demod_scan)
+    FSKConfig, fsk_init_state, fsk_num_blocks, iq_planes, _fsk_demod_scan)
 from radiosonde_auto_rx_tpu.ops.fir import _conv_valid
 from radiosonde_auto_rx_tpu.parallel.halo import halo_exchange_left
 from radiosonde_auto_rx_tpu.parallel.mesh import CH_AXIS, T_AXIS
@@ -56,7 +56,7 @@ def sharded_fir_filter(mesh, x, h):
 
 
 def sharded_fsk_demod(cfg: FSKConfig, mesh, x):
-    """FSK-demodulate [C, T] sharded (ch, t).
+    """FSK-demodulate float32 IQ planes [C, 2, T] sharded (ch, -, t).
 
     Each time shard prepends an ``nmem``-sample halo and runs the block
     scan locally with fresh state (freq-est EMA warms up inside the halo
@@ -65,7 +65,7 @@ def sharded_fsk_demod(cfg: FSKConfig, mesh, x):
     halo = cfg.nmem
 
     def body(xl):
-        C_local, T_local = xl.shape
+        C_local, _, T_local = xl.shape
         xx = halo_exchange_left(xl, halo, T_AXIS)
         nb = fsk_num_blocks(cfg, T_local + halo)
         state = fsk_init_state(cfg, C_local)
@@ -81,13 +81,14 @@ def sharded_fsk_demod(cfg: FSKConfig, mesh, x):
 
     return shard_map(
         body, mesh=mesh,
-        in_specs=(P(CH_AXIS, T_AXIS),),
+        in_specs=(P(CH_AXIS, None, T_AXIS),),
         out_specs=(P(CH_AXIS, T_AXIS), P(CH_AXIS, T_AXIS)),
     )(x)
 
 
 def make_station_step(cfg: FSKConfig, mesh, if_taps=None):
-    """Build the jitted sharded station step: IQ [C, T] → (soft, bits).
+    """Build the jitted sharded station step: IQ planes [C, 2, T] (or
+    complex64 [C, T]) → (soft, bits).
 
     ``if_taps``: optional IF lowpass taps run overlap-save before the demod
     (the reference's iq_dec/lowpass stage, demod/mod/demod_mod.c:765-768).
@@ -96,8 +97,11 @@ def make_station_step(cfg: FSKConfig, mesh, if_taps=None):
 
     @jax.jit
     def step(x):
+        x = iq_planes(x)
         if taps is not None:
-            x = sharded_fir_filter(mesh, x, taps)
+            C, _, T = x.shape
+            y = sharded_fir_filter(mesh, x.reshape(C * 2, T), taps)
+            x = y.reshape(C, 2, T)
         return sharded_fsk_demod(cfg, mesh, x)
 
     return step
