@@ -97,6 +97,15 @@ class RSCode:
         """
         gf = self.gf
         cw = np.asarray(cw)
+        if cw.ndim == 1:
+            # the batch machinery below assumes a leading batch axis
+            cwb = cw[None, :]
+            n_err = self.decode(
+                cwb,
+                None if erase_pos is None else np.asarray(erase_pos)[None],
+                None if n_era is None else np.asarray(n_era)[None])
+            cw[:] = cwb[0]
+            return int(n_err[0])
         batch = cw.shape[:-1]
         R, t = self.r, self.t
 

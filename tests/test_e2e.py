@@ -58,6 +58,22 @@ def test_iq_to_rs41_telemetry():
     assert abs(t["lat"] - 47.5) < 1e-4
 
 
+def test_iq_to_lms6_telemetry():
+    """LMS6: 48 kHz IQ at 4800 Bd raw (decode.py:1173-1208); conv->
+    Viterbi -> RS -> frame.  First block is demod warm-up."""
+    from radiosonde_auto_rx_tpu.models.lms6 import (
+        LMS6Decoder, blocks_to_raw_bits, encode_block, encode_frame)
+    frames = [encode_frame(frnr=100 + i, tow_ms=210600500 + i * 1000,
+                           fill_seed=i) for i in range(3)]
+    raw = blocks_to_raw_bits([encode_block(f) for f in frames])
+    cfg = FSKConfig(fs=48000, rs=4800, m=2, p=5, nsym=300,
+                    est_min=-10000, est_max=10000)
+    bits, soft = _run_chain(raw, 48000, 4800, cfg, spacing=4800)
+    telems = LMS6Decoder().decode_bits(bits, -soft)
+    assert len(telems) >= 2, f"only {len(telems)} LMS6 frames decoded"
+    assert telems[-1]["id"] == "LMS6-712345"
+
+
 def test_iq_to_m10_telemetry():
     """M10: 48.08 kHz IQ at 9616 Bd raw pairs (decode.py:1089-1130)."""
     from radiosonde_auto_rx_tpu.models.m10 import (
