@@ -71,7 +71,7 @@ def test_iq_to_lms6_telemetry():
     bits, soft = _run_chain(raw, 48000, 4800, cfg, spacing=4800)
     telems = LMS6Decoder().decode_bits(bits, -soft)
     assert len(telems) >= 2, f"only {len(telems)} LMS6 frames decoded"
-    assert telems[-1]["id"] == "LMS6-712345"
+    assert telems[-1]["id"] == "LMS6-7123456"
 
 
 def test_iq_to_m10_telemetry():
