@@ -1,0 +1,149 @@
+"""Batched matched-filter correlation over the template bank.
+
+TPU-first reformulation of the reference's getCorrDFT
+(reference scan/dft_detect.c:357-443): the per-type DFT·conj(template)
+IDFT per K-block becomes ONE grouped convolution of the FM stream against
+the whole bank — ``corr[c, k, t] = sum_i x[c, t+i]·tmpl[k, i]`` — which XLA
+tiles onto the MXU, batched over channels.  The reference's normalization
+(windowed signal norm over the template length, :427-431) and DC removal
+(mean over the last 2L samples, :383-391) become cumsum-based running sums,
+so every time position is normalized, not just the per-block max.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class Detection:
+    name: str
+    tn: int
+    score: float
+    position: int       # sample index of header end
+    inverted: bool
+    freq_offset: float  # Hz (from FM DC term, if computed)
+
+
+def _windowed_sums(x, lens):
+    """Running sums over trailing windows of per-type lengths.
+
+    x: [C, T]; lens: [K] ints.  Returns sums [C, K, T'] aligned with the
+    'valid' correlation positions for a bank padded to Lmax.
+    """
+    C, T = x.shape
+    lmax = int(lens.max())
+    nvalid = T - lmax + 1
+    cs = jnp.concatenate(
+        [jnp.zeros((C, 1), x.dtype), jnp.cumsum(x, axis=-1)], axis=-1)
+    outs = []
+    for k in range(len(lens)):
+        L = int(lens[k])
+        # correlation at valid position t covers x[t : t+L]
+        outs.append(cs[:, lens[k]:nvalid + lens[k]] - cs[:, :nvalid])
+    return jnp.stack(outs, axis=1)                      # [C, K, nvalid]
+
+
+@partial(jax.jit, static_argnames=("lens_t",))
+def _correlate(x, bank, lens_t):
+    """x: [C, T] float32 FM stream; bank: [K, Lmax].
+
+    Returns (corr [C,K,T'], xnorm [C,K,T'], dc [C,K,T']) at valid
+    positions (T' = T-Lmax+1); correlation index t covers x[t:t+L_k].
+    """
+    C, T = x.shape
+    K, lmax = bank.shape
+    lens = np.asarray(lens_t)
+    # grouped conv: [C,1,T] * [K,1,Lmax] -> [C,K,T']
+    corr = jax.lax.conv_general_dilated(
+        x[:, None, :], bank[:, None, :], window_strides=(1,),
+        padding=[(0, 0)], dimension_numbers=("NCW", "OIW", "NCW"))
+    s1 = _windowed_sums(x, lens)                        # [C,K,T']
+    s2 = _windowed_sums(x * x, lens)
+    lensf = jnp.asarray(lens, jnp.float32)[None, :, None]
+    dc = s1 / lensf
+    # norm of (x - dc) over the window; template sums ~0 so corr is
+    # DC-corrected via corr - dc*sum(tmpl)
+    tsum = jnp.sum(bank, axis=-1)[None, :, None]
+    corr = corr - dc * tsum
+    xnorm = jnp.sqrt(jnp.maximum(s2 - lensf * dc * dc, 1e-12))
+    # dead-air guard: windows much quieter than the channel (e.g. zero
+    # padding) would divide ~0/~0 into garbage scores — zero them out
+    rms = jnp.sqrt(jnp.mean(x * x, axis=-1))[:, None, None]
+    floor = 0.05 * jnp.sqrt(lensf) * rms
+    corr = jnp.where(xnorm < floor, 0.0, corr)
+    return corr, xnorm, dc
+
+
+def correlate_bank(x, bank, lens):
+    """Normalized correlation scores [C, K, T'] in [-1, 1]."""
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    corr, xnorm, dc = _correlate(x, jnp.asarray(bank), tuple(int(v)
+                                                             for v in lens))
+    return corr / xnorm, dc
+
+
+def _headcmp(x_c, spec, start, fs, inverted, dc):
+    """Re-read header bits at symbol centers and count errors
+    (reference headcmp, dft_detect.c:866-901)."""
+    spb = fs / spec.sps
+    idx = (start + (np.arange(len(spec.header)) + 0.5) * spb).astype(int)
+    idx = idx[idx < len(x_c)]
+    if len(idx) < len(spec.header):
+        return len(spec.header)
+    bits = (x_c[idx] - dc) > 0
+    want = np.array([c == "1" for c in spec.header])
+    if inverted:
+        want = ~want
+    return int(np.sum(bits != want))
+
+
+def detect_types(x, bank, lens, specs, fm_gain_hz=None, max_det=1,
+                 fs=48000):
+    """Detect sonde types in FM stream(s).
+
+    x: [T] or [C, T] float32 FM discriminator output (≈ normalized
+    instantaneous frequency).  Returns per channel a list of Detection
+    sorted by score (reference emits the best type, dft_detect.c:1612-1666).
+    Candidates are confirmed by re-reading the header bits at the detected
+    position and bounding the bit errors (reference headcmp + herrs,
+    dft_detect.c:866-901,1509-1524).
+    ``fm_gain_hz``: scale from FM units to Hz for the frequency-offset
+    estimate (reference df = dc/(2*FM_GAIN*decM), :438-442).
+    """
+    single = np.ndim(x) == 1
+    xnp = np.atleast_2d(np.asarray(x))
+    score, dc = correlate_bank(x, bank, lens)
+    score = np.asarray(score)
+    dc = np.asarray(dc)
+    # frequency offset from the stream mean: headers are not DC-balanced,
+    # so the whole dwell (payload averages out) beats the header window
+    xm = xnp.mean(axis=-1)
+    C = score.shape[0]
+    out = []
+    for c in range(C):
+        dets = []
+        for k, spec in enumerate(specs):
+            sc = score[c, k]
+            ipk = int(np.argmax(np.abs(sc)))
+            val = float(sc[ipk])
+            if abs(val) >= spec.thres:
+                herrs = _headcmp(xnp[c], spec, ipk, fs, val < 0,
+                                 float(dc[c, k, ipk]))
+                if herrs > spec.herrs:
+                    continue
+                off = 0.0
+                if fm_gain_hz is not None:
+                    off = float(xm[c]) * fm_gain_hz
+                dets.append(Detection(
+                    name=spec.name, tn=spec.tn, score=abs(val),
+                    position=ipk + int(lens[k]),
+                    inverted=val < 0, freq_offset=off))
+        dets.sort(key=lambda d: d.score, reverse=True)
+        out.append(dets[:max_det] if max_det else dets)
+    return out[0] if single else out

@@ -1,0 +1,113 @@
+"""PSD scanning + peak detection for the sonde scanner.
+
+Replaces the reference scan pass (reference auto_rx/autorx/scan.py:948-1097:
+rtl_power CSV -> median noise floor -> detect_peaks -> 10 kHz quantize) with
+an on-device Welch PSD over IQ planes (matmul DFT — no backend FFT needed)
+and a host-side peak picker with the same mph/mpd semantics as the
+Marcos-Duarte detector the reference vendors (auto_rx/autorx/utils.py:437).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _dft_mats(nfft):
+    n = np.arange(nfft)
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * n / (nfft - 1))   # hann
+    win = win / np.sqrt(np.sum(win**2) / nfft)
+    kcol = np.arange(nfft) - nfft // 2                     # fftshifted
+    ang = 2 * np.pi * np.outer(n, kcol) / nfft
+    wc = (win[:, None] * np.cos(ang)).astype(np.float32)
+    ws = (win[:, None] * np.sin(ang)).astype(np.float32)
+    return wc, ws
+
+
+@partial(jax.jit, static_argnames=("nfft",))
+def _welch(x, nfft):
+    """x: [C, 2, T] planes -> mean |DFT|^2 over hops, fftshifted [C, nfft]."""
+    C, _, T = x.shape
+    hop = nfft // 2
+    nseg = (T - nfft) // hop + 1
+    idx = (np.arange(nseg) * hop)[:, None] + np.arange(nfft)[None, :]
+    segs = x[:, :, idx]                                    # [C, 2, nseg, nfft]
+    wc, ws = _dft_mats(nfft)
+    wc = jnp.asarray(wc)
+    ws = jnp.asarray(ws)
+    xr, xi = segs[:, 0], segs[:, 1]
+    re = jnp.einsum("csd,de->cse", xr, wc) + jnp.einsum("csd,de->cse", xi, ws)
+    im = jnp.einsum("csd,de->cse", xi, wc) - jnp.einsum("csd,de->cse", xr, ws)
+    return jnp.mean(re * re + im * im, axis=1) / nfft      # [C, nfft]
+
+
+def power_spectrum(x, nfft=1024, fs=48000):
+    """IQ (complex [C,T]/[T] or planes [C,2,T]) -> (freqs, psd_db).
+
+    freqs in Hz relative to center; psd_db [C, nfft].
+    """
+    from radiosonde_auto_rx_tpu.demod.fsk import iq_planes
+    single = (np.ndim(x) == 1) or (jnp.iscomplexobj(x) and x.ndim == 1)
+    x = iq_planes(jnp.asarray(x))
+    p = np.asarray(_welch(x, nfft))
+    psd_db = 10.0 * np.log10(np.maximum(p, 1e-20))
+    freqs = (np.arange(nfft) - nfft // 2) * (fs / nfft)
+    return freqs, (psd_db[0] if single else psd_db)
+
+
+def detect_peaks(x, mph=None, mpd=1, threshold=0.0):
+    """Peak indices: amplitude >= mph, separated by >= mpd samples.
+
+    Same semantics as the reference's vendored Marcos-Duarte detector
+    (auto_rx/autorx/utils.py:437): local maxima on rising edges, highest
+    peaks win within the minimum-distance window.
+    """
+    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    if x.size < 3:
+        return np.array([], dtype=int)
+    dx = np.diff(x)
+    rise = np.flatnonzero((np.hstack((dx, 0)) <= 0) & (np.hstack((0, dx)) > 0))
+    if rise.size and mph is not None:
+        rise = rise[x[rise] >= mph]
+    if rise.size and threshold > 0:
+        keep = np.array([x[i] - max(x[i - 1], x[i + 1]) > threshold
+                         for i in rise])
+        rise = rise[keep]
+    if rise.size and mpd > 1:
+        order = rise[np.argsort(x[rise])][::-1]
+        suppressed = np.zeros(x.size, dtype=bool)
+        keep = []
+        for i in order:
+            if not suppressed[i]:
+                keep.append(i)
+                lo = max(0, i - int(mpd))
+                suppressed[lo:i + int(mpd) + 1] = True
+        rise = np.sort(np.array(keep, dtype=int))
+    return rise
+
+
+def scan_peaks(psd_db, freqs, snr_threshold=10.0, min_distance_hz=10e3,
+               quantization_hz=10e3, never_scan=()):
+    """PSD -> candidate frequencies (Hz, relative to capture center).
+
+    Mirrors the reference scan pass (auto_rx/autorx/scan.py:1009-1097):
+    noise floor = median(power); peaks above floor+threshold; quantize;
+    dedupe; drop blocked frequencies.
+    """
+    psd_db = np.asarray(psd_db)
+    noise_floor = float(np.median(psd_db))
+    df = abs(freqs[1] - freqs[0])
+    mpd = max(1, int(min_distance_hz / df))
+    idx = detect_peaks(psd_db, mph=noise_floor + snr_threshold, mpd=mpd)
+    if len(idx) == 0:
+        return np.array([]), noise_floor
+    pf = freqs[idx]
+    if quantization_hz:
+        pf = np.round(pf / quantization_hz) * quantization_hz
+    pf = np.unique(pf)
+    if never_scan:
+        pf = np.array([f for f in pf
+                       if not any(abs(f - b) < quantization_hz / 2
+                                  for b in never_scan)])
+    return pf, noise_floor

@@ -1,0 +1,106 @@
+"""Sonde detector: IQ conditioning + template-bank correlation.
+
+The reference's dft_detect IQ mode runs 3 parallel IF lowpass bandwidths
+(6/12/22 kHz [+200k L-band]) into 4 parallel FM discriminator streams and
+correlates each type against its bandwidth class
+(reference scan/dft_detect.c:148-149,751-819,1021-1111,1404-1410).  Here
+the same structure is one jitted dataflow over IQ planes ``[C, 2, T]``:
+per-class FIR (grouped over re/im), one discriminator per class, one
+grouped convolution per class — everything batched over channels.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from radiosonde_auto_rx_tpu.detect.templates import build_template_bank, \
+    TEMPLATES
+from radiosonde_auto_rx_tpu.detect.correlator import detect_types
+from radiosonde_auto_rx_tpu.ops.fir import design_lowpass, fir_filter
+from radiosonde_auto_rx_tpu.ops.fm import FM_GAIN
+
+# IF lowpass bandwidth per class (dft_detect.c:148-149)
+LPIQ_BW = (6e3, 12e3, 22e3, 200e3)
+# FM-audio lowpass (dft_detect.c:148: 4k narrow, 10k wide)
+LPFM_BW = (4e3, 10e3)
+
+
+class SondeDetector:
+    """Detect sonde type(s) in 48 kHz IQ channels.
+
+    Usage: ``SondeDetector(fs).detect(iq)`` -> list of Detection
+    (per channel when input is batched).
+    """
+
+    def __init__(self, fs: int = 48000, specs=None, taps: int = 97):
+        self.fs = fs
+        specs = TEMPLATES if specs is None else specs
+        # group templates by IF bandwidth class present at this rate
+        self.classes = []
+        for cls in sorted({s.lp_iq for s in specs}):
+            bw = LPIQ_BW[cls]
+            if bw >= fs:
+                cls_specs = [s for s in specs if s.lp_iq == cls]
+                bank, lens, _ = build_template_bank(fs, cls_specs)
+                self.classes.append((None, None, cls_specs,
+                                     jnp.asarray(bank), lens))
+                continue
+            cls_specs = [s for s in specs if s.lp_iq == cls]
+            bank, lens, _ = build_template_bank(fs, cls_specs)
+            h_if = jnp.asarray(design_lowpass(bw / 2 / fs, taps))
+            lpfm = LPFM_BW[1] if any(s.sps > 6000 for s in cls_specs) \
+                else LPFM_BW[0]
+            h_fm = jnp.asarray(design_lowpass(lpfm / fs, taps))
+            self.classes.append((h_if, h_fm, cls_specs,
+                                 jnp.asarray(bank), lens))
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _condition(self, x):
+        """x: [C, 2, T] planes -> list of FM streams [C, T] per class."""
+        out = []
+        for h_if, h_fm, _, _, _ in self.classes:
+            re, im = x[:, 0], x[:, 1]
+            if h_if is not None:
+                re = fir_filter(re, h_if)
+                im = fir_filter(im, h_if)
+            # FM discriminator on real planes:
+            # w = z * conj(z_prev); angle via atan2
+            rp = jnp.concatenate([re[:, :1], re[:, :-1]], axis=-1)
+            ip = jnp.concatenate([im[:, :1], im[:, :-1]], axis=-1)
+            wr = re * rp + im * ip
+            wi = im * rp - re * ip
+            fm = (FM_GAIN / jnp.pi) * jnp.arctan2(wi, wr)
+            if h_fm is not None:
+                fm = fir_filter(fm, h_fm)
+            out.append(fm.astype(jnp.float32))
+        return out
+
+    def detect(self, iq, max_det: int = 1, dc_block: bool = True):
+        """iq: complex [T]/[C,T] or planes [C,2,T] -> detections.
+
+        Returns a list of Detection for 1-D input, else a list per channel.
+        Frequency offsets are in Hz (df = fs*dc/(2*FM_GAIN), the
+        discriminator's normalization, demod/mod/demod_mod.c:298).
+        """
+        from radiosonde_auto_rx_tpu.demod.fsk import iq_planes
+        single = np.ndim(iq) == 1
+        x = iq_planes(jnp.asarray(iq))
+        if dc_block:
+            x = x - jnp.mean(x, axis=-1, keepdims=True) * 0.98
+        streams = self._condition(x)
+        C = x.shape[0]
+        merged = [[] for _ in range(C)]
+        for fm, (h_if, h_fm, cls_specs, bank, lens) in zip(streams,
+                                                           self.classes):
+            dets = detect_types(np.asarray(fm), bank, lens, cls_specs,
+                                fm_gain_hz=self.fs / (2.0 * FM_GAIN),
+                                max_det=0)
+            for c in range(C):
+                merged[c].extend(dets[c])
+        for c in range(C):
+            merged[c].sort(key=lambda d: d.score, reverse=True)
+            if max_det:
+                merged[c] = merged[c][:max_det]
+        return merged[0] if single else merged
