@@ -1,0 +1,182 @@
+"""Station configuration: defaults + INI reader.
+
+The key set mirrors the reference's ~120-key defaults dict
+(reference auto_rx/autorx/config.py:52-186) so existing ``station.cfg``
+files parse; SDR-subprocess keys are accepted but unused (the sample
+source here is a wideband IQ stream into the channelizer).
+"""
+
+import configparser
+import copy
+
+
+def default_config() -> dict:
+    return {
+        # logging / exporters
+        "per_sonde_log": True,
+        "email_enabled": False,
+        "email_smtp_server": "localhost",
+        "email_smtp_port": 25,
+        "email_smtp_authentication": "None",
+        "email_smtp_login": "None",
+        "email_smtp_password": "None",
+        "email_from": "sonde@localhost",
+        "email_to": None,
+        "email_subject": "<type> Sonde launch detected on <freq>: <id>",
+        # source
+        "sdr_type": "WIDEBAND",        # reference: RTLSDR/SpyServer/KA9Q
+        "sdr_hostname": "localhost",
+        "sdr_port": 5555,
+        "sdr_quantity": 1,
+        "capture_rate": 2400000,
+        "num_channels": 50,
+        # scanning
+        "min_freq": 400.4,
+        "max_freq": 404.0,
+        "rx_timeout": 120,
+        "only_scan": [],
+        "never_scan": [],
+        "always_scan": [],
+        "always_decode": [],
+        "snr_threshold": 10,
+        "min_distance": 1000,
+        "max_peaks": 10,
+        "quantization": 10000,
+        "decoder_spacing_limit": 15000,
+        "scan_dwell_time": 20,
+        "detect_dwell_time": 5,
+        "scan_delay": 10,
+        "temporary_block_time": 60,
+        # station
+        "station_lat": 0.0,
+        "station_lon": 0.0,
+        "station_alt": 0.0,
+        "station_code": "SONDE",
+        "gpsd_enabled": False,
+        "gpsd_host": "localhost",
+        "gpsd_port": 2947,
+        # filtering
+        "max_altitude": 50000,
+        "max_radius_km": 1000,
+        "min_radius_km": 0,
+        "radius_temporary_block": False,
+        "sonde_time_threshold": 3,
+        "enable_realtime_filter": True,
+        "max_velocity": 300,
+        "payload_id_valid": 5,
+        # aprs
+        "aprs_enabled": False,
+        "aprs_upload_rate": 30,
+        "aprs_user": "N0CALL",
+        "aprs_pass": "00000",
+        "aprs_server": "radiosondy.info",
+        "aprs_port": 14580,
+        "aprs_object_id": "<id>",
+        "aprs_custom_comment": "Radiosonde Auto-RX <freq>",
+        "aprs_position_report": False,
+        # web
+        "web_host": "0.0.0.0",
+        "web_port": 5000,
+        "web_archive_age": 120,
+        "web_control": False,
+        "web_password": "none",
+        # ozi / payload summary
+        "ozi_enabled": False,
+        "ozi_update_rate": 5,
+        "ozi_host": "<broadcast>",
+        "ozi_port": 55681,
+        "payload_summary_enabled": False,
+        "payload_summary_host": "<broadcast>",
+        "payload_summary_port": 55672,
+        # rotator
+        "enable_rotator": False,
+        "rotator_update_rate": 30,
+        "rotator_hostname": "127.0.0.1",
+        "rotator_port": 4533,
+        "rotation_threshold": 5.0,
+        "rotator_homing_enabled": False,
+        "rotator_homing_delay": 10,
+        "rotator_home_azimuth": 0,
+        "rotator_home_elevation": 0,
+        # sondehub
+        "sondehub_enabled": True,
+        "sondehub_upload_rate": 30,
+        "sondehub_contact_email": "none@none.com",
+        # misc
+        "wideband_sondes": False,
+        "close_on_encrypted": True,
+        "save_cal_data": False,
+        "enable_debug_logging": False,
+        "experimental_decoders": {},
+    }
+
+
+_SECTIONS = {
+    "logging": ("per_sonde_log",),
+    "email": ("email_enabled", "email_smtp_server", "email_smtp_port",
+              "email_smtp_authentication", "email_smtp_login",
+              "email_smtp_password", "email_from", "email_to",
+              "email_subject"),
+    "search_params": ("min_freq", "max_freq", "rx_timeout",
+                      "snr_threshold", "min_distance", "quantization"),
+    "location": ("station_lat", "station_lon", "station_alt",
+                 "station_code", "gpsd_enabled", "gpsd_host", "gpsd_port"),
+    "filtering": ("max_altitude", "max_radius_km", "min_radius_km",
+                  "radius_temporary_block", "sonde_time_threshold",
+                  "enable_realtime_filter", "max_velocity",
+                  "payload_id_valid"),
+    "aprs": ("aprs_enabled", "aprs_upload_rate", "aprs_user", "aprs_pass",
+             "aprs_server", "aprs_port", "aprs_object_id",
+             "aprs_custom_comment", "aprs_position_report"),
+    "web": ("web_host", "web_port", "web_archive_age", "web_control",
+            "web_password"),
+    "ozi": ("ozi_enabled", "ozi_update_rate", "ozi_host", "ozi_port",
+            "payload_summary_enabled", "payload_summary_host",
+            "payload_summary_port"),
+    "rotator": ("enable_rotator", "rotator_update_rate", "rotator_hostname",
+                "rotator_port", "rotation_threshold",
+                "rotator_homing_enabled", "rotator_homing_delay",
+                "rotator_home_azimuth", "rotator_home_elevation"),
+    "sondehub": ("sondehub_enabled", "sondehub_upload_rate",
+                 "sondehub_contact_email"),
+    "advanced": ("scan_dwell_time", "detect_dwell_time", "scan_delay",
+                 "max_peaks", "decoder_spacing_limit",
+                 "temporary_block_time", "wideband_sondes",
+                 "close_on_encrypted", "save_cal_data",
+                 "enable_debug_logging", "capture_rate", "num_channels"),
+}
+
+
+def _coerce(default, raw: str):
+    if isinstance(default, bool):
+        return raw.strip().lower() in ("1", "true", "yes", "on")
+    if isinstance(default, int):
+        return int(float(raw))
+    if isinstance(default, float):
+        return float(raw)
+    if isinstance(default, list):
+        raw = raw.strip()
+        if not raw:
+            return []
+        return [float(v) for v in raw.split(",") if v.strip()]
+    return raw
+
+
+def read_auto_rx_config(filename: str | None = None,
+                        no_sdr_test: bool = True) -> dict:
+    """Read a station.cfg-style INI into a flat config dict.
+
+    Unknown keys are ignored (version-tolerant, like the reference's
+    fallback parsing, config.py:188+)."""
+    cfg = default_config()
+    if filename is None:
+        return cfg
+    parser = configparser.RawConfigParser()
+    parser.read(filename)
+    for section, keys in _SECTIONS.items():
+        if not parser.has_section(section):
+            continue
+        for key in keys:
+            if parser.has_option(section, key):
+                cfg[key] = _coerce(cfg[key], parser.get(section, key))
+    return cfg

@@ -1,0 +1,225 @@
+"""The station: one object owning the whole capture→telemetry dataflow.
+
+Replaces the reference's task manager + scanner + decoder threads
+(reference auto_rx/auto_rx.py:101-537, autorx/scan.py SondeScanner :662,
+autorx/decode.py SondeDecoder :55): instead of allocating SDRs to
+subprocess pipelines, each ``process_capture`` call takes one wideband IQ
+block, channelizes it on device, scans/detects/demodulates as channel
+batches, decodes frames on the host, and fans validated telemetry out to
+the exporters.  Task state (temporary blocks, active decoders, timeouts)
+matches the reference's bookkeeping (auto_rx.py:304-537).
+"""
+
+import logging
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from radiosonde_auto_rx_tpu.demod.fsk import FSKConfig, fsk_demod_stream
+from radiosonde_auto_rx_tpu.detect.psd import power_spectrum, scan_peaks
+from radiosonde_auto_rx_tpu.detect.scanner import SondeDetector
+from radiosonde_auto_rx_tpu.models import get_model
+from radiosonde_auto_rx_tpu.ops.channelizer import (
+    channel_freqs, channelize, pfb_prototype)
+from radiosonde_auto_rx_tpu.station.config import default_config
+from radiosonde_auto_rx_tpu.station.telemetry import (
+    RealtimeVelocityFilter, enrich_telemetry, telemetry_filter)
+
+log = logging.getLogger("station")
+
+
+def _demod_cfg(fs: int, rs: int, est: int = 10000, mask: int = 0):
+    p = 5
+    ts = fs // rs
+    while ts % p and p > 1:
+        p -= 1
+    nsym = max(50, min(300, 4800 * 300 // rs))
+    while (fs // rs) * nsym < 2 ** int(np.ceil(np.log2(fs / (0.1 * rs)))):
+        nsym *= 2
+    return FSKConfig(fs=fs, rs=rs, m=2, p=p, nsym=nsym,
+                     est_min=-est, est_max=est,
+                     tone_spacing=mask, freq_est_type=1 if mask else 0)
+
+
+# Per-type demod chain parameters: raw symbol rate on the 48 kHz channel
+# and soft-bit polarity for the decoder, following the reference's
+# experimental fsk_demod chains (reference auto_rx/autorx/decode.py
+# :846-1476).  Types whose raw rate does not divide the channel rate use
+# the nearest divisor (the demod's nin clock tracking absorbs the ppm).
+CHAIN_TABLE = {
+    "RS41": dict(rs=4800, mask=5000, est=5000),
+    "RS92": dict(rs=4800, est=20000),
+    "DFM": dict(rs=2400, est=5000),        # ref: 2500 Bd at 50 kHz
+    "M10": dict(rs=9600, est=10000),
+    "M20": dict(rs=9600, est=10000),
+    "LMS6": dict(rs=4800, est=10000),
+    "IMET5": dict(rs=4800, est=5000, mask=5000),
+    "MEISEI": dict(rs=2400, est=10000),
+    "MRZ": dict(rs=4800, est=10000),
+    "MTS01": dict(rs=1200, est=5000),
+    "WXR301": dict(rs=4800, est=10000),
+    "WXRPN9": dict(rs=4800, est=10000),
+    "RD94RD41": dict(rs=9600, est=20000),
+}
+
+# detector type name -> models registry name
+MODEL_NAME = {"RD94RD41": "DROPSONDE", "IMET4": "IMET", "IMET1RS": "IMET"}
+
+
+class Station:
+    """Batch station: wideband IQ blocks in, telemetry out."""
+
+    def __init__(self, config: dict | None = None, exporters=None,
+                 center_freq_hz: float = 402.5e6):
+        self.config = {**default_config(), **(config or {})}
+        self.exporters = exporters or []
+        self.center_freq = center_freq_hz
+        self.fs_wide = int(self.config["capture_rate"])
+        self.n_chan = int(self.config["num_channels"])
+        self.fs_ch = self.fs_wide // self.n_chan
+        self.freqs = channel_freqs(self.n_chan, self.fs_wide)
+        self.pfb_taps = pfb_prototype(self.n_chan)
+        self.detector = SondeDetector(self.fs_ch)
+        self.rt_filter = RealtimeVelocityFilter(self.config["max_velocity"])
+        # task state (reference auto_rx.py task_list / temporary_block_list)
+        self.active = {}             # chan -> dict(type, decoder, last_ok)
+        self.temporary_blocks = {}   # freq_hz -> unblock time
+        self.scan_results = []
+        self.stats = dict(frames_ok=0, frames_filtered=0, detections=0)
+
+    # ------------------------------------------------------------------ #
+
+    def channel_of_freq(self, freq_hz: float) -> int:
+        rel = freq_hz - self.center_freq
+        return int(np.argmin(np.abs(self.freqs - rel)))
+
+    def _blocked(self, freq_hz: float) -> bool:
+        now = time.time()
+        for f, until in list(self.temporary_blocks.items()):
+            if until < now:
+                del self.temporary_blocks[f]
+        return any(abs(freq_hz - f) < self.config["quantization"]
+                   for f in self.temporary_blocks)
+
+    # ------------------------------------------------------------------ #
+
+    def scan(self, wideband_iq) -> list:
+        """PSD scan -> candidate channel indices
+        (reference scan.py sonde_search :948-1097)."""
+        pfreqs, psd = power_spectrum(jnp.asarray(wideband_iq), nfft=2048,
+                                     fs=self.fs_wide)
+        peaks, nf = scan_peaks(
+            psd, pfreqs,
+            snr_threshold=self.config["snr_threshold"],
+            min_distance_hz=self.config["min_distance"] * 10,
+            quantization_hz=self.fs_wide / self.n_chan,
+            never_scan=[f * 1e6 - self.center_freq
+                        for f in self.config["never_scan"]])
+        chans = sorted({int(np.argmin(np.abs(self.freqs - p)))
+                        for p in peaks})
+        for f_mhz in self.config["always_decode"]:
+            chans.append(self.channel_of_freq(f_mhz * 1e6))
+        chans = [c for c in chans
+                 if not self._blocked(self.center_freq + self.freqs[c])]
+        return sorted(set(chans))[: self.config["max_peaks"]]
+
+    # ------------------------------------------------------------------ #
+
+    def process_capture(self, wideband_iq) -> list:
+        """One full cycle: scan -> detect -> demod -> decode -> export.
+
+        Returns the accepted telemetry dicts."""
+        chans = self.scan(wideband_iq)
+        ch = channelize(jnp.asarray(wideband_iq), self.n_chan,
+                        self.pfb_taps)
+        telemetry_out = []
+        if not chans:
+            return telemetry_out
+
+        detections = self.detector.detect(ch[np.array(chans)])
+        for ci, dets in zip(chans, detections):
+            if not dets:
+                continue
+            det = dets[0]
+            self.stats["detections"] += 1
+            name = det.name
+            if name not in CHAIN_TABLE and name not in MODEL_NAME:
+                continue
+            telemetry_out.extend(
+                self.decode_channel(ch[ci], ci, name, det))
+        return telemetry_out
+
+    def decode_channel(self, iq_ch, ci: int, name: str, det=None) -> list:
+        """Demod + decode one channel known to carry type ``name``."""
+        chain = CHAIN_TABLE.get(name, dict(rs=4800, est=10000))
+        cfg = _demod_cfg(self.fs_ch, chain["rs"], chain.get("est", 10000),
+                         chain.get("mask", 0))
+        soft, bits, stats, _ = fsk_demod_stream(cfg, iq_ch[None])
+        bits = np.asarray(bits)[0]
+        soft = np.asarray(soft)[0]
+
+        model_name = MODEL_NAME.get(name, name)
+        state = self.active.get(ci)
+        if state is None or state["type"] != name:
+            decoder_cls = get_model(model_name)
+            state = dict(type=name, decoder=decoder_cls(), last_ok=0.0)
+            self.active[ci] = state
+        decoder = state["decoder"]
+
+        freq_hz = self.center_freq + self.freqs[ci]
+        snr_db = float(np.asarray(stats["ebno_db"]).max()) \
+            if "ebno_db" in stats else None
+        raw_telems = decoder.decode_bits(bits, -soft)
+        out = []
+        for t in raw_telems:
+            t = enrich_telemetry(
+                t, freq_hz=freq_hz, snr=snr_db,
+                f_error=det.freq_offset if det else None,
+                station_code=self.config["station_code"])
+            if t.get("encrypted") and self.config["close_on_encrypted"]:
+                self._drop_channel(ci, freq_hz, encrypted=True)
+                break
+            verdict = telemetry_filter(t, self.config)
+            if verdict == "TempBlock":
+                self._drop_channel(ci, freq_hz)
+                break
+            if verdict is not True and verdict != "OK":
+                self.stats["frames_filtered"] += 1
+                continue
+            if self.config["enable_realtime_filter"] and \
+                    not self.rt_filter.check(t):
+                self.stats["frames_filtered"] += 1
+                continue
+            state["last_ok"] = time.time()
+            self.stats["frames_ok"] += 1
+            out.append(t)
+            for exporter in self.exporters:
+                try:
+                    exporter.add(t)
+                except Exception:
+                    log.exception("exporter error")
+        return out
+
+    def _drop_channel(self, ci, freq_hz, encrypted=False):
+        self.active.pop(ci, None)
+        self.temporary_blocks[freq_hz] = time.time() + \
+            self.config["temporary_block_time"] * 60
+        if encrypted:
+            log.warning("Encrypted sonde on %.3f MHz — blocked",
+                        freq_hz / 1e6)
+
+    def clean_task_list(self):
+        """Reap idle decoders (reference auto_rx.py clean_task_list
+        :422-537)."""
+        now = time.time()
+        for ci in list(self.active):
+            if now - self.active[ci]["last_ok"] > self.config["rx_timeout"]:
+                self.active.pop(ci)
+
+    def close(self):
+        for e in self.exporters:
+            try:
+                e.close()
+            except Exception:
+                pass

@@ -1,0 +1,230 @@
+"""Station control plane + exporter tests."""
+
+import datetime
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from radiosonde_auto_rx_tpu.station import (
+    Station, default_config, read_auto_rx_config, telemetry_filter,
+    enrich_telemetry)
+from radiosonde_auto_rx_tpu.station.telemetry import RealtimeVelocityFilter
+from radiosonde_auto_rx_tpu.utils.geometry import (
+    GenericTrack, position_info, time_to_landing)
+from radiosonde_auto_rx_tpu.exporters.logfile import (
+    TelemetryLogger, telemetry_to_log_line)
+from radiosonde_auto_rx_tpu.exporters.aprs import telemetry_to_aprs_position
+from radiosonde_auto_rx_tpu.exporters.ozimux import OziUploader
+from radiosonde_auto_rx_tpu.exporters.sondehub import reformat_data
+
+
+def _telem(**kw):
+    now = datetime.datetime.now(datetime.timezone.utc)
+    t = {
+        "type": "RS41", "frame": 1234, "id": "S1234567",
+        "datetime": now.strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "datetime_dt": now,
+        "lat": -34.0, "lon": 138.0, "alt": 10000.0,
+        "vel_h": 10.0, "vel_v": 5.0, "heading": 90.0,
+        "temp": -40.0, "humidity": 50.0, "pressure": 260.0,
+        "batt": 2.7, "sats": 9, "freq": "402.500 MHz",
+        "freq_float": 402.5, "aprsid": "S1234567",
+    }
+    t.update(kw)
+    return t
+
+
+def test_position_info():
+    info = position_info((-34.0, 138.0, 100.0), (-34.5, 138.5, 10000.0))
+    assert 60e3 < info["great_circle_distance"] < 80e3
+    assert 0 < info["bearing"] < 360
+    assert info["elevation"] > 0
+
+
+def test_generic_track_descent():
+    tr = GenericTrack()
+    t0 = datetime.datetime.now(datetime.timezone.utc)
+    for i in range(8):
+        st = tr.add_telemetry({"time": t0 + datetime.timedelta(seconds=10 * i),
+                               "lat": -34.0, "lon": 138.0 + 0.001 * i,
+                               "alt": 10000.0 - 60.0 * i})
+    assert st["is_descending"]
+    assert st["ascent_rate"] < -5.0
+    assert st["time_to_landing"] is not None
+
+
+def test_time_to_landing():
+    t = time_to_landing(10000.0, 20.0)
+    assert 600 < t < 3600
+    assert time_to_landing(10000.0, -5.0) is None
+
+
+def test_telemetry_filter_accepts_valid():
+    cfg = default_config()
+    assert telemetry_filter(_telem(), cfg) == "OK"
+
+
+def test_telemetry_filter_rejects():
+    cfg = default_config()
+    assert telemetry_filter(_telem(lat=0.0, lon=0.0), cfg) is False
+    assert telemetry_filter(_telem(alt=60000), cfg) is False
+    assert telemetry_filter(_telem(sats=3), cfg) is False
+    assert telemetry_filter(_telem(id="12345678"), cfg) is False  # bad serial
+    old = datetime.datetime.now(datetime.timezone.utc) - \
+        datetime.timedelta(hours=7)
+    assert telemetry_filter(_telem(datetime_dt=old), cfg) is False
+
+
+def test_telemetry_filter_radius_block():
+    cfg = default_config()
+    cfg.update(station_lat=-34.0, station_lon=138.0,
+               max_radius_km=50, radius_temporary_block=True)
+    far = _telem(lat=-40.0, lon=145.0)
+    assert telemetry_filter(far, cfg) == "TempBlock"
+
+
+def test_realtime_velocity_filter():
+    f = RealtimeVelocityFilter(100.0)
+    t1 = _telem()
+    assert f.check(t1)
+    t2 = _telem(lat=-35.0,
+                datetime_dt=t1["datetime_dt"]
+                + datetime.timedelta(seconds=10))
+    assert not f.check(t2)   # 111 km in 10 s
+
+
+def test_enrich_telemetry_time_only():
+    t = {"type": "IMET5", "frame": 100, "id": "IMET5-54001",
+         "datetime": "12:34:56Z", "lat": 1.0, "lon": 2.0, "alt": 3.0}
+    e = enrich_telemetry(t, freq_hz=402.5e6)
+    assert e["datetime_dt"].hour == 12
+    assert e["freq"] == "402.500 MHz"
+
+
+def test_imet_unique_id_generated():
+    t = {"type": "IMET", "frame": 100, "id": "IMET-xxxx",
+         "datetime": "12:34:56Z", "lat": 1.0, "lon": 2.0, "alt": 3.0}
+    e = enrich_telemetry(t, freq_hz=402.5e6)
+    assert e["id"].startswith("IMET-") and len(e["id"]) == 13
+    # deterministic
+    e2 = enrich_telemetry(t, freq_hz=402.5e6)
+    assert e["id"] == e2["id"]
+
+
+def test_log_line_format():
+    line = telemetry_to_log_line(_telem())
+    fields = line.strip().split(",")
+    assert len(fields) == 20
+    assert fields[1] == "S1234567"
+    assert fields[12] == "RS41"
+
+
+def test_telemetry_logger(tmp_path):
+    lg = TelemetryLogger(str(tmp_path), start_thread=False)
+    lg.write_telemetry(_telem())
+    lg.write_telemetry(_telem(frame=1235))
+    lg.close()
+    files = list(tmp_path.glob("*_sonde.log"))
+    assert len(files) == 1
+    lines = files[0].read_text().splitlines()
+    assert lines[0].startswith("timestamp,")
+    assert len(lines) == 3
+
+
+def test_aprs_packet_format():
+    pkt, name = telemetry_to_aprs_position(
+        _telem(), object_name="<id>",
+        aprs_comment="Radiosonde <freq> <id>")
+    assert name == "S1234567"
+    assert pkt.startswith(";S1234567")
+    assert "3400.00S" in pkt and "13800.00E" in pkt
+    assert "/A=032808" in pkt          # 10000 m in feet
+    assert "402.500 MHz" in pkt
+
+
+def test_ozimux_sentence():
+    s = OziUploader.make_sentence(_telem())
+    assert s.startswith("TELEMETRY,")
+    assert ",-34.00000,138.00000,10000\n" in s
+
+
+def test_sondehub_reformat():
+    out = reformat_data(_telem(), user_callsign="TEST")
+    assert out["manufacturer"] == "Vaisala"
+    assert out["type"] == "RS41"
+    assert out["serial"] == "S1234567"
+    assert out["frame"] == 1234
+    # DFM: serial strip + slower uploads flag
+    dfm = _telem(type="DFM", id="DFM-21012345", subtype="0xA:DFM09")
+    out = reformat_data(dfm)
+    assert out["serial"] == "21012345"
+    assert out["_slower_uploads"]
+    # encrypted dropped
+    assert reformat_data(_telem(encrypted=True)) is None
+
+
+def test_config_roundtrip(tmp_path):
+    cfg_file = tmp_path / "station.cfg"
+    cfg_file.write_text(
+        "[search_params]\nmin_freq = 400.05\nmax_freq = 403.0\n"
+        "[location]\nstation_lat = -34.9\n"
+        "[aprs]\naprs_enabled = True\n")
+    cfg = read_auto_rx_config(str(cfg_file))
+    assert cfg["min_freq"] == 400.05
+    assert cfg["station_lat"] == -34.9
+    assert cfg["aprs_enabled"] is True
+    assert cfg["sondehub_enabled"] is True   # default preserved
+
+
+class _CollectExporter:
+    def __init__(self):
+        self.items = []
+
+    def add(self, t):
+        self.items.append(t)
+
+    def close(self):
+        pass
+
+
+def test_station_full_cycle():
+    """Wideband capture -> Station.process_capture -> exporter."""
+    from radiosonde_auto_rx_tpu.demod.modulate import gfsk_mod
+    from radiosonde_auto_rx_tpu.models.rs41 import (
+        encode_frame, frame_to_bits, make_calibytes)
+    from radiosonde_auto_rx_tpu.ops.channelizer import channel_freqs
+
+    rng = np.random.default_rng(5)
+    cfg = {"capture_rate": 2_400_000, "num_channels": 50,
+           "station_lat": 0.0, "station_lon": 0.0}
+    col = _CollectExporter()
+    st = Station(cfg, exporters=[col], center_freq_hz=402.5e6)
+
+    now = datetime.datetime.now(datetime.timezone.utc)
+    week = (now - datetime.datetime(1980, 1, 6,
+                                    tzinfo=datetime.timezone.utc)).days // 7
+    dow = (now.weekday() + 1) % 7
+    tow_ms = ((dow * 24 + now.hour) * 3600 + now.minute * 60 +
+              now.second) * 1000
+    cal = make_calibytes()
+    tx_bits = np.concatenate(
+        [rng.integers(0, 2, 400)] +
+        [frame_to_bits(encode_frame(
+            frame_nb=900 + i, sonde_id="T1357911", week=week,
+            tow_ms=tow_ms + i * 1000, lat=-34.5, lon=138.6, alt=12000.0,
+            calibytes=cal, calfr=i)) for i in range(3)] +
+        [rng.integers(0, 2, 400)])
+    wide = gfsk_mod(tx_bits, st.fs_wide, 4800, 2, st.freqs[5], 4800, bt=0.5)
+    wide += (rng.standard_normal(len(wide)) +
+             1j * rng.standard_normal(len(wide))).astype(np.complex64) * 0.002
+
+    telems = st.process_capture(wide.astype(np.complex64))
+    assert telems, "station produced no telemetry"
+    t = telems[-1]
+    assert t["id"] == "T1357911"
+    assert abs(t["lat"] + 34.5) < 1e-4
+    assert abs(t["freq_float"] - (402.5 + st.freqs[5] / 1e6)) < 1e-6
+    assert col.items, "exporter did not receive telemetry"
+    assert st.stats["frames_ok"] >= 1
