@@ -1,0 +1,184 @@
+"""Web status server + WebExporter telemetry store.
+
+``WebExporter`` mirrors the reference's telemetry store + GenericTrack
+enrichment (reference auto_rx/autorx/web.py WebExporter :739-880);
+``WebServer`` serves the reference's JSON/KML routes from a stdlib
+ThreadingHTTPServer.
+"""
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import urlparse
+
+from radiosonde_auto_rx_tpu.utils.geometry import GenericTrack
+from radiosonde_auto_rx_tpu.utils.serial import short_type_lookup
+
+MAX_AGE_DEFAULT = 120 * 60
+
+
+class WebExporter:
+    """Exporter storing telemetry for the web routes (with derived
+    ascent rate / ground speed from a GenericTrack per sonde)."""
+
+    def __init__(self, max_age_minutes: int = 120):
+        self.max_age = max_age_minutes * 60
+        self.telemetry = {}          # id -> latest enriched telemetry
+        self.tracks = {}             # id -> GenericTrack
+        self.lock = threading.Lock()
+
+    def add(self, telemetry: dict):
+        sid = telemetry["id"]
+        with self.lock:
+            track = self.tracks.setdefault(sid, GenericTrack())
+            state = track.add_telemetry({
+                "time": telemetry["datetime_dt"],
+                "lat": telemetry["lat"], "lon": telemetry["lon"],
+                "alt": telemetry["alt"]})
+            t = {k: v for k, v in telemetry.items() if k != "datetime_dt"}
+            t["datetime_dt"] = telemetry["datetime_dt"].isoformat()
+            if state:
+                t["ascent_rate"] = round(state["ascent_rate"], 1)
+                t["ground_speed"] = round(state["speed"], 1)
+                if state.get("time_to_landing") is not None:
+                    t["time_to_landing"] = state["time_to_landing"]
+            t["age"] = time.time()
+            t["type_name"] = short_type_lookup(telemetry["type"])
+            self.telemetry[sid] = t
+
+    def archive(self):
+        with self.lock:
+            now = time.time()
+            for sid in list(self.telemetry):
+                if now - self.telemetry[sid]["age"] > self.max_age:
+                    del self.telemetry[sid]
+                    self.tracks.pop(sid, None)
+            return dict(self.telemetry)
+
+    def close(self):
+        pass
+
+
+def telemetry_to_kml(telemetry_map: dict) -> str:
+    """Live positions as a KML document (reference web.py:148-276)."""
+    placemarks = []
+    for sid, t in telemetry_map.items():
+        placemarks.append(f"""
+  <Placemark>
+    <name>{sid}</name>
+    <description>{t.get('type_name', t.get('type', ''))} @ {t.get('freq', '')}</description>
+    <Point>
+      <altitudeMode>absolute</altitudeMode>
+      <coordinates>{t['lon']:.5f},{t['lat']:.5f},{t['alt']:.1f}</coordinates>
+    </Point>
+  </Placemark>""")
+    return ('<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<kml xmlns="http://www.opengis.net/kml/2.2"><Document>'
+            + "".join(placemarks) + "\n</Document></kml>\n")
+
+
+_INDEX_HTML = """<!DOCTYPE html>
+<html><head><title>radiosonde_auto_rx_tpu</title>
+<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
+td,th{border:1px solid #999;padding:4px 8px}</style></head>
+<body><h2>radiosonde_auto_rx_tpu</h2>
+<div id="tasks"></div><h3>Telemetry</h3><table id="telem"></table>
+<script>
+async function refresh(){
+ const a=await (await fetch('get_telemetry_archive')).json();
+ const t=document.getElementById('telem');
+ t.innerHTML='<tr><th>ID</th><th>Type</th><th>Freq</th><th>Lat</th>'+
+  '<th>Lon</th><th>Alt</th><th>Asc m/s</th></tr>';
+ for(const k in a){const d=a[k];
+  t.innerHTML+=`<tr><td>${k}</td><td>${d.type}</td><td>${d.freq||''}</td>`+
+   `<td>${d.lat}</td><td>${d.lon}</td><td>${d.alt}</td>`+
+   `<td>${d.ascent_rate??''}</td></tr>`;}
+ const s=await (await fetch('get_task_list')).json();
+ document.getElementById('tasks').textContent=
+   'Active channels: '+JSON.stringify(s);
+}
+refresh();setInterval(refresh,5000);
+</script></body></html>
+"""
+
+
+class WebServer:
+    """Threaded status server over a Station + WebExporter."""
+
+    def __init__(self, station=None, web_exporter=None, config=None,
+                 host="127.0.0.1", port=0):
+        self.station = station
+        self.web_exporter = web_exporter or WebExporter()
+        self.config = config or {}
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass
+
+            def _send(self, data, ctype="application/json", code=200):
+                body = data.encode() if isinstance(data, str) else data
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                path = urlparse(self.path).path
+                if path in ("/", "/index.html"):
+                    self._send(_INDEX_HTML, "text/html")
+                elif path == "/get_version":
+                    from radiosonde_auto_rx_tpu import __version__
+                    self._send(json.dumps({"version": __version__}))
+                elif path == "/get_telemetry_archive":
+                    self._send(json.dumps(outer.web_exporter.archive(),
+                                          default=str))
+                elif path == "/get_task_list":
+                    self._send(json.dumps(outer.task_list()))
+                elif path == "/get_config":
+                    cfg = {k: v for k, v in outer.config.items()
+                           if "password" not in k and "pass" not in k}
+                    self._send(json.dumps(cfg, default=str))
+                elif path == "/get_scan_data":
+                    self._send(json.dumps(outer.scan_data()))
+                elif path == "/get_log_list":
+                    from radiosonde_auto_rx_tpu.web.log_files import \
+                        list_log_files
+                    self._send(json.dumps(list_log_files(
+                        outer.config.get("log_directory", "./log/")),
+                        default=str))
+                elif path in ("/rs.kml", "/rs_feed.kml"):
+                    self._send(telemetry_to_kml(outer.web_exporter.archive()),
+                               "application/vnd.google-earth.kml+xml")
+                else:
+                    self._send(json.dumps({"error": "not found"}), code=404)
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = None
+
+    def task_list(self):
+        if self.station is None:
+            return {}
+        return {str(ci): dict(type=st["type"],
+                              freq="%.3f MHz" % ((self.station.center_freq
+                                                  + self.station.freqs[ci])
+                                                 / 1e6))
+                for ci, st in self.station.active.items()}
+
+    def scan_data(self):
+        if self.station is None:
+            return {"freq": [], "power": []}
+        return {"latest_scan": self.station.scan_results}
+
+    def start(self):
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def close(self):
+        self._server.shutdown()
+        if self._thread:
+            self._thread.join(timeout=2)
