@@ -47,6 +47,10 @@ def default_config() -> dict:
         "detect_dwell_time": 5,
         "scan_delay": 10,
         "temporary_block_time": 60,
+        # RS92: path to a RINEX-2 GPS nav file (reference decode.py:423-446
+        # downloads one via gps.py; here supply a path or leave None to
+        # attempt a download on first RS92 detection)
+        "rs92_ephemeris": None,
         # station
         "station_lat": 0.0,
         "station_lon": 0.0,

@@ -49,7 +49,9 @@ def _demod_cfg(fs: int, rs: int, est: int = 10000, mask: int = 0):
 # the nearest divisor (the demod's nin clock tracking absorbs the ppm).
 CHAIN_TABLE = {
     "RS41": dict(rs=4800, mask=5000, est=5000),
-    "RS92": dict(rs=4800, est=20000),
+    # RS92's Manchester stream has a strong 2.4 kHz line comb; the mask
+    # (tone-pair) estimator is required to lock the true FSK tones
+    "RS92": dict(rs=4800, est=5000, mask=4800),
     "DFM": dict(rs=2400, est=5000),        # ref: 2500 Bd at 50 kHz
     "M10": dict(rs=9600, est=10000),
     "M20": dict(rs=9600, est=10000),
@@ -163,7 +165,20 @@ class Station:
         state = self.active.get(ci)
         if state is None or state["type"] != name:
             decoder_cls = get_model(model_name)
-            state = dict(type=name, decoder=decoder_cls(), last_ok=0.0)
+            kwargs = {}
+            if model_name == "RS92":
+                # RS92 needs GPS ephemeris for its raw-pseudorange nav
+                # (reference decode.py:423-446)
+                eph = self.config.get("rs92_ephemeris")
+                if eph is None:
+                    from radiosonde_auto_rx_tpu.station.gps_ephem import \
+                        get_ephemeris
+                    eph = get_ephemeris()
+                    self.config["rs92_ephemeris"] = eph
+                if eph:
+                    kwargs["ephemeris"] = eph
+            state = dict(type=name, decoder=decoder_cls(**kwargs),
+                         last_ok=0.0)
             self.active[ci] = state
         decoder = state["decoder"]
 

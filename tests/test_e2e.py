@@ -89,3 +89,23 @@ def test_iq_to_m10_telemetry():
     telems = M10Decoder().decode_bits(bits, -soft)
     assert telems, "no M10 telemetry"
     assert abs(telems[-1]["lat"] - 48.2) < 1e-4
+
+
+def test_iq_to_rs92_telemetry():
+    """RS92: 48 kHz IQ at 4800 Bd raw Manchester (decode.py RS92 FM chain);
+    raw-pseudorange GPS navigation against a synthetic constellation."""
+    from radiosonde_auto_rx_tpu.models.rs92 import (
+        RS92Decoder, encode_flight_bits, make_test_ephemeris)
+    ephs = make_test_ephemeris()
+    raw = encode_flight_bits(n_frames=2, ephs=ephs, lat=-34.95, lon=138.52,
+                             alt=12000.0)
+    cfg = FSKConfig(fs=48000, rs=4800, m=2, p=5, nsym=300,
+                    est_min=-5000, est_max=5000, tone_spacing=4800,
+                    freq_est_type=1)
+    bits, soft = _run_chain(raw, 48000, 4800, cfg, spacing=4800)
+    telems = RS92Decoder(ephemeris=ephs).decode_bits(bits)
+    assert telems, "no RS92 telemetry"
+    t = telems[-1]
+    assert t["id"] == "R1234567"
+    assert abs(t["lat"] + 34.95) < 5e-4
+    assert abs(t["lon"] - 138.52) < 5e-4
