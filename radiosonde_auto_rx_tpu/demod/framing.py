@@ -10,6 +10,14 @@ here on the host frame plane).
 import numpy as np
 
 
+def _native():
+    try:
+        from radiosonde_auto_rx_tpu import native
+        return native if native.available() else None
+    except ImportError:
+        return None
+
+
 def header_bits(header_str: str) -> np.ndarray:
     """'0101...' -> int8 array of ±1 (1 -> +1, 0 -> -1)."""
     b = np.frombuffer(header_str.encode(), dtype=np.uint8) - ord("0")
@@ -37,12 +45,27 @@ def find_frame_starts(bits01: np.ndarray, header_str: str,
     Consecutive detections within min_spacing keep only the best.
     """
     h = header_bits(header_str)
-    score = correlate_bits(bits01, h)
-    hits = np.flatnonzero(score >= len(h) - max_errors)
+    nat = _native()
+    if nat is not None and len(bits01) >= len(h):
+        # popcount path: XOR packed 64-bit words with early exit
+        hits, errs = nat.find_headers(bits01, (h > 0).astype(np.uint8),
+                                      max_errors)
+        score_at = dict(zip(hits.tolist(), (len(h) - errs).tolist()))
+        score = None
+    else:
+        score_full = correlate_bits(bits01, h)
+        hits = np.flatnonzero(score_full >= len(h) - max_errors)
+        score = score_full
     if len(hits) == 0:
         return np.array([], dtype=np.int64)
     if min_spacing is None:
         min_spacing = len(h)
+
+    def best(cluster):
+        if score is not None:
+            return cluster[int(np.argmax(score[cluster]))]
+        return max(cluster, key=lambda p: score_at[p])
+
     # greedy NMS: keep best score in each cluster
     out = []
     cluster = [hits[0]]
@@ -50,9 +73,9 @@ def find_frame_starts(bits01: np.ndarray, header_str: str,
         if p - cluster[-1] <= min_spacing:
             cluster.append(p)
         else:
-            out.append(cluster[int(np.argmax(score[cluster]))])
+            out.append(best(cluster))
             cluster = [p]
-    out.append(cluster[int(np.argmax(score[cluster]))])
+    out.append(best(cluster))
     return np.asarray(out, dtype=np.int64) + len(h)
 
 

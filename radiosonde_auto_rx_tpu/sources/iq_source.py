@@ -59,6 +59,22 @@ _CONVERTERS = {"cu8": (cu8_to_planes, 2),
                "f32c": (f32c_to_planes, 8)}
 
 
+def open_pumped(stream, capacity: int = 1 << 22, timeout_ms: int = -1):
+    """Wrap a pipe/file object in the native fd-pump ring buffer so the
+    capture process never blocks on a slow Python consumer (the reference
+    relies on kernel pipe buffering between its processes).  Returns the
+    original stream unchanged when the native runtime isn't built or the
+    object has no fd (e.g. BytesIO in tests)."""
+    nat = _native()
+    if nat is None or not hasattr(stream, "fileno"):
+        return stream
+    try:
+        stream.fileno()
+    except (OSError, ValueError):
+        return stream
+    return nat.PumpedReader(stream, capacity=capacity, timeout_ms=timeout_ms)
+
+
 class IQStreamSource:
     """Fixed-block IQ reader with overlap carry.
 
