@@ -171,6 +171,22 @@ def _dft_mats(cfg: FSKConfig):
 # frequency estimation
 # ----------------------------------------------------------------------------
 
+# Fused Pallas spectral pass: None = auto (on for TPU backends), or force
+# with set_pallas_freq_est(True/False) (bench/tests).
+_PALLAS_SF: bool | None = None
+
+
+def set_pallas_freq_est(enable: bool | None):
+    global _PALLAS_SF
+    _PALLAS_SF = enable
+
+
+def _pallas_sf_enabled() -> bool:
+    if _PALLAS_SF is not None:
+        return _PALLAS_SF
+    return jax.devices()[0].platform == "tpu"
+
+
 def _freq_est(cfg: FSKConfig, xw: jnp.ndarray, sf: jnp.ndarray):
     """Update spectral EMA and estimate the M tone frequencies.
 
@@ -184,24 +200,30 @@ def _freq_est(cfg: FSKConfig, xw: jnp.ndarray, sf: jnp.ndarray):
     # DFT hops over the newest N samples (the reference FFTs the new nin
     # samples only, fsk.c:465-468).
     starts = (cfg.nmem - cfg.n) + np.arange(nf) * half            # [nf]
-    idx = starts[:, None] + np.arange(ndft)[None, :]              # [nf, ndft]
-    segs = xw[:, :, idx]                                          # [C, 2, nf, ndft]
-    xr, xi = segs[:, 0], segs[:, 1]                               # [C, nf, ndft]
-
     wc, ws = _dft_mats(cfg)
-    wc = jnp.asarray(wc)
-    ws = jnp.asarray(ws)
-    x_re = jnp.einsum("cnd,de->cne", xr, wc) + \
-        jnp.einsum("cnd,de->cne", xi, ws)
-    x_im = jnp.einsum("cnd,de->cne", xi, wc) - \
-        jnp.einsum("cnd,de->cne", xr, ws)
-    mag = jnp.sqrt(x_re * x_re + x_im * x_im)                     # [C, nf, ndft]
 
     # Exact closed form of the per-hop EMA Sf = Sf*(1-tc) + tc*mag (fsk.c:500)
     tc = cfg.tc
     decay = np.float32((1.0 - tc) ** nf)
     w = (tc * (1.0 - tc) ** (nf - 1 - np.arange(nf))).astype(np.float32)
-    sf_new = sf * decay + jnp.einsum("cnd,n->cd", mag, jnp.asarray(w))
+
+    if _pallas_sf_enabled():
+        from radiosonde_auto_rx_tpu.ops.pallas_fsk import freq_est_sf
+        sf_new = freq_est_sf(xw, sf, jnp.asarray(wc), jnp.asarray(ws),
+                             tuple(starts.tolist()), tuple(w.tolist()),
+                             float(decay))
+    else:
+        idx = starts[:, None] + np.arange(ndft)[None, :]          # [nf, ndft]
+        segs = xw[:, :, idx]                                      # [C, 2, nf, ndft]
+        xr, xi = segs[:, 0], segs[:, 1]                           # [C, nf, ndft]
+        wcj = jnp.asarray(wc)
+        wsj = jnp.asarray(ws)
+        x_re = jnp.einsum("cnd,de->cne", xr, wcj) + \
+            jnp.einsum("cnd,de->cne", xi, wsj)
+        x_im = jnp.einsum("cnd,de->cne", xi, wcj) - \
+            jnp.einsum("cnd,de->cne", xr, wsj)
+        mag = jnp.sqrt(x_re * x_re + x_im * x_im)                 # [C, nf, ndft]
+        sf_new = sf * decay + jnp.einsum("cnd,n->cd", mag, jnp.asarray(w))
 
     st, en = cfg.est_range
     bins = np.arange(ndft)

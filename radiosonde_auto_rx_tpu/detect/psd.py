@@ -25,6 +25,21 @@ def _dft_mats(nfft):
     return wc, ws
 
 
+# Pallas fused PSD kernel: None = auto (TPU only); force via set_pallas_psd.
+_PALLAS_PSD: bool | None = None
+
+
+def set_pallas_psd(enable: bool | None):
+    global _PALLAS_PSD
+    _PALLAS_PSD = enable
+
+
+def _pallas_psd_enabled() -> bool:
+    if _PALLAS_PSD is not None:
+        return _PALLAS_PSD
+    return jax.devices()[0].platform == "tpu"
+
+
 @partial(jax.jit, static_argnames=("nfft",))
 def _welch(x, nfft):
     """x: [C, 2, T] planes -> mean |DFT|^2 over hops, fftshifted [C, nfft]."""
@@ -33,6 +48,15 @@ def _welch(x, nfft):
     nseg = (T - nfft) // hop + 1
     idx = (np.arange(nseg) * hop)[:, None] + np.arange(nfft)[None, :]
     segs = x[:, :, idx]                                    # [C, 2, nseg, nfft]
+    if _pallas_psd_enabled():
+        # fused window+DFT+|.|^2+fftshift kernel per segment
+        from radiosonde_auto_rx_tpu.ops.pallas_fft import fft_abs2
+        n = np.arange(nfft)
+        win = 0.5 - 0.5 * np.cos(2 * np.pi * n / (nfft - 1))
+        win = (win / np.sqrt(np.sum(win**2) / nfft)).astype(np.float32)
+        flat = segs.transpose(0, 2, 1, 3).reshape(C * nseg, 2, nfft)
+        p = fft_abs2(flat, win=jnp.asarray(win), shift=True)
+        return p.reshape(C, nseg, nfft).mean(axis=1) / nfft
     wc, ws = _dft_mats(nfft)
     wc = jnp.asarray(wc)
     ws = jnp.asarray(ws)

@@ -1,0 +1,277 @@
+"""Command-line station entry point.
+
+TPU-native re-implementation of the reference's main loop
+(reference auto_rx/auto_rx.py:760-1159): read config, wire exporters,
+start the web server, then run the capture loop — but where the reference
+allocates one SDR subprocess pipeline per task, here every block of
+wideband IQ flows through the channelizer/scanner/demod batch pipeline of
+``Station.process_capture``.
+
+CLI flags mirror the reference (auto_rx.py:765-815): ``-c`` config file,
+``-f`` single-frequency decode (MHz), ``-m`` forced sonde type, ``-t``
+timeout in minutes, ``-v`` verbose.  Exit codes follow auto_rx.py:12-19
+(0 OK, 2 invalid config, 3 SDR/source failure, 4 restart requested).
+"""
+
+import argparse
+import logging
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+log = logging.getLogger("main")
+
+EXIT_OK = 0
+EXIT_ERROR = 1
+EXIT_CONFIG = 2
+EXIT_SOURCE = 3
+EXIT_RESTART = 4
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="radiosonde_auto_rx_tpu",
+        description="TPU-native radiosonde receiver station")
+    ap.add_argument("-c", "--config", default=None,
+                    help="station configuration file (INI)")
+    ap.add_argument("-f", "--frequency", type=float, default=None,
+                    help="decode a single frequency (MHz), skip scanning")
+    ap.add_argument("-m", "--type", dest="sonde_type", default=None,
+                    help="force the sonde type for -f (e.g. RS41)")
+    ap.add_argument("-t", "--timeout", type=float, default=0,
+                    help="stop after this many minutes (0 = run forever)")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--replay", default=None,
+                    help="replay a wideband IQ capture file instead of an SDR")
+    ap.add_argument("--replay-format", default="cs16",
+                    choices=("cs16", "cu8", "f32c"))
+    ap.add_argument("--center", type=float, default=402.5,
+                    help="capture center frequency, MHz")
+    ap.add_argument("--block-seconds", type=float, default=2.0,
+                    help="wideband samples per processing block")
+    ap.add_argument("--no-web", action="store_true",
+                    help="disable the status web server")
+    ap.add_argument("--log-dir", default="./log/")
+    return ap.parse_args(argv)
+
+
+def build_exporters(config, web_exporter=None):
+    """Construct the exporter set the config enables
+    (reference auto_rx.py:948-1104)."""
+    exporters = []
+    if config.get("per_sonde_log", True):
+        from radiosonde_auto_rx_tpu.exporters.logfile import TelemetryLogger
+        exporters.append(TelemetryLogger(
+            log_directory=config.get("log_directory", "./log/")))
+    if config.get("sondehub_enabled"):
+        from radiosonde_auto_rx_tpu.exporters.sondehub import SondehubUploader
+        exporters.append(SondehubUploader(
+            upload_rate=config["sondehub_upload_rate"],
+            user_callsign=config["station_code"],
+            user_position=(config["station_lat"], config["station_lon"],
+                           config["station_alt"]),
+            contact_email=config["sondehub_contact_email"]))
+    if config.get("aprs_enabled"):
+        from radiosonde_auto_rx_tpu.exporters.aprs import APRSUploader
+        exporters.append(APRSUploader(
+            aprs_callsign=config["aprs_user"],
+            aprs_passcode=config["aprs_pass"],
+            server=config["aprs_server"],
+            port=config["aprs_port"],
+            object_name_override=config["aprs_object_id"],
+            object_comment=config["aprs_custom_comment"],
+            upload_rate=config["aprs_upload_rate"],
+            position_report=config.get("aprs_position_report", False)))
+    if config.get("ozi_enabled") or config.get("payload_summary_enabled"):
+        from radiosonde_auto_rx_tpu.exporters.ozimux import OziUploader
+        exporters.append(OziUploader(
+            ozimux_port=config["ozi_port"] if config.get("ozi_enabled")
+            else None,
+            payload_summary_port=config["payload_summary_port"]
+            if config.get("payload_summary_enabled") else None,
+            update_rate=config["ozi_update_rate"],
+            station=config["station_code"],
+            ozimux_host=config.get("ozi_host", "<broadcast>")))
+    if config.get("email_enabled"):
+        from radiosonde_auto_rx_tpu.exporters.email_notification import \
+            EmailNotification
+        exporters.append(EmailNotification(
+            smtp_server=config["email_smtp_server"],
+            smtp_port=config["email_smtp_port"],
+            smtp_authentication=config["email_smtp_authentication"],
+            smtp_login=config["email_smtp_login"],
+            smtp_password=config["email_smtp_password"],
+            mail_from=config["email_from"],
+            mail_to=config["email_to"],
+            mail_subject=config["email_subject"],
+            station_position=(config["station_lat"], config["station_lon"],
+                              config["station_alt"])))
+    if config.get("enable_rotator"):
+        from radiosonde_auto_rx_tpu.exporters.rotator import Rotator
+        exporters.append(Rotator(
+            station_position=(config["station_lat"], config["station_lon"],
+                              config["station_alt"]),
+            rotctld_host=config["rotator_hostname"],
+            rotctld_port=config["rotator_port"],
+            rotator_update_rate=config["rotator_update_rate"],
+            rotator_update_threshold=config["rotation_threshold"],
+            rotator_homing_enabled=config["rotator_homing_enabled"],
+            rotator_homing_delay=config["rotator_homing_delay"],
+            rotator_home_position=(config["rotator_home_azimuth"],
+                                   config["rotator_home_elevation"]),
+            start_thread=True))
+    if web_exporter is not None:
+        exporters.append(web_exporter)
+    return exporters
+
+
+class BlockSource:
+    """Wideband IQ block reader over a replay file or an SDR capture
+    process; yields [2, T] float32 planes per block."""
+
+    def __init__(self, config, args):
+        from radiosonde_auto_rx_tpu.sources.iq_source import (
+            IQStreamSource, open_pumped)
+        fs = int(config["capture_rate"])
+        block = int(fs * args.block_seconds)
+        self.proc = None
+        self._file = None
+        if args.replay:
+            self._file = open(args.replay, "rb")
+            stream = self._file
+            fmt = args.replay_format
+        else:
+            from radiosonde_auto_rx_tpu.sources.sdr_wrappers import \
+                get_sdr_iq_cmd
+            cmd = get_sdr_iq_cmd(
+                config["sdr_type"], args.center * 1e6, fs,
+                sdr_hostname=config.get("sdr_hostname", ""),
+                sdr_port=config.get("sdr_port", 5555)).rstrip("| ")
+            log.info("capture: %s", cmd)
+            self.proc = subprocess.Popen(cmd, shell=True,
+                                         stdout=subprocess.PIPE,
+                                         start_new_session=True)
+            stream = open_pumped(self.proc.stdout)
+            fmt = "cs16"
+        self.src = IQStreamSource(stream, fmt=fmt, block_samples=block)
+
+    def blocks(self):
+        return self.src.blocks()
+
+    def close(self):
+        if self.proc is not None:
+            try:
+                import os
+                os.killpg(os.getpgid(self.proc.pid), signal.SIGKILL)
+            except (OSError, ProcessLookupError):
+                pass
+        if self._file is not None:
+            self._file.close()
+
+
+def run_station(args, config) -> int:
+    from radiosonde_auto_rx_tpu.station.station import Station
+    from radiosonde_auto_rx_tpu.web.server import WebExporter, WebServer
+
+    config.setdefault("log_directory", args.log_dir)
+    web_exporter = WebExporter(
+        max_age_minutes=config.get("web_archive_age", 120))
+    exporters = build_exporters(config, web_exporter)
+    station = Station(config=config, exporters=exporters,
+                      center_freq_hz=args.center * 1e6)
+    web = None
+    if not args.no_web:
+        web = WebServer(station=station, web_exporter=web_exporter,
+                        config=config, host=config.get("web_host", "0.0.0.0"),
+                        port=int(config.get("web_port", 5000)))
+        web.start()
+        log.info("web server on port %d", web.port)
+
+    forced_chan = None
+    if args.frequency is not None:
+        forced_chan = station.channel_of_freq(args.frequency * 1e6)
+        log.info("single-frequency mode: %.3f MHz -> channel %d",
+                 args.frequency, forced_chan)
+
+    stop = {"flag": False}
+
+    def _sigint(signum, frame):
+        stop["flag"] = True
+
+    old_handler = signal.signal(signal.SIGINT, _sigint)
+    deadline = time.time() + args.timeout * 60 if args.timeout else None
+    source = None
+    code = EXIT_OK
+    try:
+        source = BlockSource(config, args)
+        n_blocks = 0
+        for block in source.blocks():
+            if stop["flag"] or (deadline and time.time() > deadline):
+                break
+            if forced_chan is not None:
+                from radiosonde_auto_rx_tpu.ops.channelizer import channelize
+                ch = channelize(block, station.n_chan, station.pfb_taps)
+                if args.sonde_type:
+                    telems = station.decode_channel(
+                        ch[forced_chan], forced_chan, args.sonde_type)
+                else:
+                    dets = station.detector.detect(
+                        np.asarray(ch[forced_chan])[None])[0]
+                    telems = (station.decode_channel(
+                        ch[forced_chan], forced_chan, dets[0].name, dets[0])
+                        if dets else [])
+            else:
+                telems = station.process_capture(block)
+            n_blocks += 1
+            station.clean_task_list()
+            if telems:
+                log.info("block %d: %d telemetry frames", n_blocks,
+                         len(telems))
+        log.info("source drained after %d blocks; stats=%s", n_blocks,
+                 station.stats)
+    except FileNotFoundError as e:
+        log.critical("capture source failed: %s", e)
+        code = EXIT_SOURCE
+    except Exception:
+        log.exception("station error")
+        code = EXIT_ERROR
+    finally:
+        signal.signal(signal.SIGINT, old_handler)
+        if source is not None:
+            source.close()
+        station.close()
+        if web is not None:
+            web.close()
+    return code
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    from radiosonde_auto_rx_tpu.station.config import read_auto_rx_config
+    try:
+        config = read_auto_rx_config(args.config) if args.config \
+            else read_auto_rx_config(None)
+    except Exception:
+        log.exception("invalid configuration")
+        return EXIT_CONFIG
+    if config is None:
+        return EXIT_CONFIG
+    if args.replay is None and config.get("sdr_type") == "WIDEBAND":
+        # WIDEBAND replays a capture file; the hostname key doubles as its
+        # path — require one that exists
+        import os
+        path = str(config.get("sdr_hostname", ""))
+        if not os.path.isfile(path):
+            log.critical("no source: pass --replay or configure an SDR")
+            return EXIT_CONFIG
+    return run_station(args, config)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

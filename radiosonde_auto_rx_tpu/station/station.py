@@ -106,11 +106,23 @@ class Station:
 
     # ------------------------------------------------------------------ #
 
+    @staticmethod
+    def _wide_planes(x):
+        """Normalize wideband input to float32 [2, T] planes (accepts
+        complex [T] or planes — the block sources emit planes)."""
+        x = jnp.asarray(x)
+        if jnp.iscomplexobj(x):
+            return jnp.stack([x.real, x.imag]).astype(jnp.float32)
+        assert x.ndim == 2 and x.shape[0] == 2, "expect [2, T] planes"
+        return x.astype(jnp.float32)
+
     def scan(self, wideband_iq) -> list:
         """PSD scan -> candidate channel indices
         (reference scan.py sonde_search :948-1097)."""
-        pfreqs, psd = power_spectrum(jnp.asarray(wideband_iq), nfft=2048,
+        planes = self._wide_planes(wideband_iq)
+        pfreqs, psd = power_spectrum(planes[None], nfft=2048,
                                      fs=self.fs_wide)
+        psd = psd[0]
         peaks, nf = scan_peaks(
             psd, pfreqs,
             snr_threshold=self.config["snr_threshold"],
@@ -132,9 +144,9 @@ class Station:
         """One full cycle: scan -> detect -> demod -> decode -> export.
 
         Returns the accepted telemetry dicts."""
-        chans = self.scan(wideband_iq)
-        ch = channelize(jnp.asarray(wideband_iq), self.n_chan,
-                        self.pfb_taps)
+        planes = self._wide_planes(wideband_iq)
+        chans = self.scan(planes)
+        ch = channelize(planes, self.n_chan, self.pfb_taps)
         telemetry_out = []
         if not chans:
             return telemetry_out
