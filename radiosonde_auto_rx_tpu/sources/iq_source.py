@@ -95,8 +95,11 @@ class IQStreamSource:
         self._tail = np.zeros((2, overlap), np.float32)
         self.samples_read = 0
 
-    def read_block(self):
-        """One [2, overlap+block] float32 block, or None at EOF."""
+    def read_block(self, partial: bool = False):
+        """One [2, overlap+block] float32 block, or None at EOF.
+
+        With ``partial=True`` a short final block is returned instead of
+        being dropped (shape [2, overlap+got]) — stream-CLI use."""
         want = self.block_samples * self.bytes_per_sample
         chunks = []
         got = 0
@@ -106,7 +109,7 @@ class IQStreamSource:
                 break
             chunks.append(chunk)
             got += len(chunk)
-        if got < want:
+        if got < want and not (partial and got >= self.bytes_per_sample):
             return None                       # partial block: EOF
         planes = self.convert(b"".join(chunks))
         self.samples_read += planes.shape[1]
