@@ -179,6 +179,9 @@ _PALLAS_SF: bool | None = None
 def set_pallas_freq_est(enable: bool | None):
     global _PALLAS_SF
     _PALLAS_SF = enable
+    # the flag is read at trace time and is not part of the jit cache key —
+    # drop cached executables so the switch actually takes effect
+    _fsk_demod_scan.clear_cache()
 
 
 def _pallas_sf_enabled() -> bool:
@@ -280,7 +283,8 @@ def _mask_estimate(cfg: FSKConfig, sf: jnp.ndarray, st: int, en: int):
 # block demod core
 # ----------------------------------------------------------------------------
 
-def fsk_demod_block(cfg: FSKConfig, xw: jnp.ndarray, state: FSKState):
+def fsk_demod_block(cfg: FSKConfig, xw: jnp.ndarray, state: FSKState,
+                    probe: bool = False):
     """Demodulate one window.
 
     xw: [C, 2, nmem] float32 IQ planes.
@@ -375,6 +379,12 @@ def fsk_demod_block(cfg: FSKConfig, xw: jnp.ndarray, state: FSKState):
 
     out = dict(soft=soft, bits=bits, f_est=f_est, ebno_db=ebno_db,
                ppm=ppm, nin_next=nin_next)
+    if probe:
+        # internal trajectories for modem probing (utils.probe; the
+        # functional analogue of modem_probe's fsk.c hooks)
+        out["sf"] = sf_new
+        out["timing"] = norm_timing
+        out["tmag"] = tmag
     new_state = dict(sf=sf_new, timing=norm_timing, ppm=ppm)
     return out, new_state
 
@@ -387,16 +397,16 @@ def fsk_num_blocks(cfg: FSKConfig, t_samples: int) -> int:
     return max(0, (t_samples - cfg.nmem) // cfg.block_advance_max)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_blocks"))
+@partial(jax.jit, static_argnames=("cfg", "n_blocks", "probe"))
 def _fsk_demod_scan(cfg: FSKConfig, x: jnp.ndarray, state: FSKState,
-                    n_blocks: int):
+                    n_blocks: int, probe: bool = False):
     """x: [C, 2, T] float32 IQ planes."""
     def body(st, _):
         start = st["ptr"] - cfg.nmem
         win = jax.vmap(
             lambda xc, s: jax.lax.dynamic_slice(xc, (0, s), (2, cfg.nmem))
         )(x, start)
-        out, new_partial = fsk_demod_block(cfg, win, st)
+        out, new_partial = fsk_demod_block(cfg, win, st, probe=probe)
         new_state = FSKState(
             sf=new_partial["sf"],
             timing=new_partial["timing"],
@@ -411,11 +421,14 @@ def _fsk_demod_scan(cfg: FSKConfig, x: jnp.ndarray, state: FSKState,
 
 
 def fsk_demod_stream(cfg: FSKConfig, x: jnp.ndarray,
-                     state: FSKState | None = None):
+                     state: FSKState | None = None, probe: bool = False):
     """Demodulate IQ: complex64 [C, T] / [T], or float32 planes [C, 2, T].
 
     Returns (soft [C, total_bits], bits [C, total_bits], stats dict, state).
-    Stats arrays are [C, n_blocks] (f_est is [C, n_blocks, M]).
+    Stats arrays are [C, n_blocks] (f_est is [C, n_blocks, M]).  With
+    ``probe=True`` stats also carries the internal trajectories ``sf``
+    [C, nb, ndft], ``timing`` [C, nb] and ``tmag`` [C, nb, M, nsym]
+    (see utils.probe — the modem_probe analogue).
     """
     squeeze = jnp.iscomplexobj(x) and x.ndim == 1
     x = iq_planes(x)
@@ -426,7 +439,7 @@ def fsk_demod_stream(cfg: FSKConfig, x: jnp.ndarray,
     if nb == 0:
         empty = jnp.zeros((C, 0), jnp.float32)
         return empty, empty.astype(jnp.uint8), {}, state
-    state, outs = _fsk_demod_scan(cfg, x, state, nb)
+    state, outs = _fsk_demod_scan(cfg, x, state, nb, probe)
     # outs.* are [n_blocks, C, ...] -> concat along time
     soft = jnp.transpose(outs["soft"], (1, 0, 2)).reshape(C, -1)
     bits = jnp.transpose(outs["bits"], (1, 0, 2)).reshape(C, -1)
@@ -435,6 +448,10 @@ def fsk_demod_stream(cfg: FSKConfig, x: jnp.ndarray,
         ebno_db=jnp.transpose(outs["ebno_db"], (1, 0)),
         ppm=jnp.transpose(outs["ppm"], (1, 0)),
     )
+    if probe:
+        stats["sf"] = jnp.transpose(outs["sf"], (1, 0, 2))
+        stats["timing"] = jnp.transpose(outs["timing"], (1, 0))
+        stats["tmag"] = jnp.transpose(outs["tmag"], (1, 0, 2, 3))
     if squeeze:
         soft, bits = soft[0], bits[0]
     return soft, bits, stats, state

@@ -32,6 +32,8 @@ _PALLAS_PSD: bool | None = None
 def set_pallas_psd(enable: bool | None):
     global _PALLAS_PSD
     _PALLAS_PSD = enable
+    # flag is read at trace time, not part of the jit key — flush
+    _welch.clear_cache()
 
 
 def _pallas_psd_enabled() -> bool:

@@ -61,8 +61,9 @@ def freq_est_sf(xw: jnp.ndarray, sf: jnp.ndarray, wc: jnp.ndarray,
     ndft = sf.shape[-1]
     if interpret is None:
         interpret = _interpret_default()
-    # channel tile: budget ~2 MB for the window planes
-    tc = max(8, min(256, (1 << 19) // max(nmem, 128)))
+    # channel tile: budget ~2 MB for the window planes; the sublane
+    # (second-to-last block) dim must be a multiple of 8
+    tc = max(8, min(256, ((1 << 19) // max(nmem, 128)) // 8 * 8))
     while tc > 8 and tc // 2 >= c:
         tc //= 2
     pad = (-c) % tc

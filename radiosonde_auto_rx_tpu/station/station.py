@@ -53,8 +53,11 @@ CHAIN_TABLE = {
     # (tone-pair) estimator is required to lock the true FSK tones
     "RS92": dict(rs=4800, est=5000, mask=4800),
     "DFM": dict(rs=2400, est=5000),        # ref: 2500 Bd at 50 kHz
-    "M10": dict(rs=9600, est=10000),
-    "M20": dict(rs=9600, est=10000),
+    # M10/M20 run at 9615.4 Bd: resample the 48 kHz channel to 48.08 kHz
+    # so Ts = 5 exactly (reference uses tsrc for the same ratio,
+    # auto_rx/test/README.md:13-22)
+    "M10": dict(rs=9616, est=10000, resample_to=48080),
+    "M20": dict(rs=9616, est=10000, resample_to=48080),
     "LMS6": dict(rs=4800, est=10000),
     "IMET5": dict(rs=4800, est=5000, mask=5000),
     "MEISEI": dict(rs=2400, est=10000),
@@ -167,7 +170,12 @@ class Station:
     def decode_channel(self, iq_ch, ci: int, name: str, det=None) -> list:
         """Demod + decode one channel known to carry type ``name``."""
         chain = CHAIN_TABLE.get(name, dict(rs=4800, est=10000))
-        cfg = _demod_cfg(self.fs_ch, chain["rs"], chain.get("est", 10000),
+        fs = self.fs_ch
+        if "resample_to" in chain:
+            from radiosonde_auto_rx_tpu.ops.resample import resample_planes
+            iq_ch = resample_planes(iq_ch, fs, chain["resample_to"])
+            fs = chain["resample_to"]
+        cfg = _demod_cfg(fs, chain["rs"], chain.get("est", 10000),
                          chain.get("mask", 0))
         soft, bits, stats, _ = fsk_demod_stream(cfg, iq_ch[None])
         bits = np.asarray(bits)[0]
