@@ -61,6 +61,13 @@ def sharded_fsk_demod(cfg: FSKConfig, mesh, x):
     Each time shard prepends an ``nmem``-sample halo and runs the block
     scan locally with fresh state (freq-est EMA warms up inside the halo
     region).  Returns (soft, bits) sharded (ch, t).
+
+    Seam semantics: because the halo region is demodulated too, each
+    shard re-emits ~``nmem/ts`` symbols of its left neighbor's tail;
+    the frame layer's duplicate-frame handling absorbs the repeats
+    (the reference tolerates repeated frames the same way after decoder
+    restarts).  Shard 0's halo is zeros — identical to a fresh stream
+    start.
     """
     halo = cfg.nmem
 
