@@ -92,6 +92,9 @@ class Station:
         self.temporary_blocks = {}   # freq_hz -> unblock time
         self.scan_results = []
         self.stats = dict(frames_ok=0, frames_filtered=0, detections=0)
+        # web-control state (reference web.py control endpoints :445-661)
+        self.scan_enabled = True
+        self.manual_tasks = {}       # chan -> forced type name
 
     # ------------------------------------------------------------------ #
 
@@ -148,9 +151,13 @@ class Station:
 
         Returns the accepted telemetry dicts."""
         planes = self._wide_planes(wideband_iq)
-        chans = self.scan(planes)
+        chans = self.scan(planes) if self.scan_enabled else []
+        chans = [c for c in chans if c not in self.manual_tasks]
         ch = channelize(planes, self.n_chan, self.pfb_taps)
         telemetry_out = []
+        # web-forced decoders first (reference /start_decoder)
+        for ci, name in list(self.manual_tasks.items()):
+            telemetry_out.extend(self.decode_channel(ch[ci], ci, name))
         if not chans:
             return telemetry_out
 
@@ -166,6 +173,25 @@ class Station:
             telemetry_out.extend(
                 self.decode_channel(ch[ci], ci, name, det))
         return telemetry_out
+
+    # ------------------------------------------------------------------ #
+    # web-control hooks (reference web.py control endpoints :445-661)
+
+    def start_manual_decoder(self, freq_hz: float, sonde_type: str):
+        ci = self.channel_of_freq(freq_hz)
+        self.manual_tasks[ci] = sonde_type
+        return ci
+
+    def stop_decoder(self, freq_hz: float, lockout_minutes: float = 0):
+        """Stop any decoder on this frequency; optional temporary block
+        (reference stop_decoder with lockout param)."""
+        ci = self.channel_of_freq(freq_hz)
+        self.manual_tasks.pop(ci, None)
+        self.active.pop(ci, None)
+        if lockout_minutes > 0:
+            self.temporary_blocks[self.center_freq + self.freqs[ci]] = \
+                time.time() + lockout_minutes * 60
+        return ci
 
     def decode_channel(self, iq_ch, ci: int, name: str, det=None) -> list:
         """Demod + decode one channel known to carry type ``name``."""

@@ -152,12 +152,112 @@ class WebServer:
                 elif path in ("/rs.kml", "/rs_feed.kml"):
                     self._send(telemetry_to_kml(outer.web_exporter.archive()),
                                "application/vnd.google-earth.kml+xml")
+                elif path == "/get_log_detail":
+                    self._log_route(lambda f: json.dumps(
+                        _read_log(f, int(self._qs().get("decimation",
+                                                        ["5"])[0])),
+                        default=str))
+                elif path == "/get_skewt_data":
+                    from radiosonde_auto_rx_tpu.web.log_files import \
+                        calculate_skewt_data
+                    self._log_route(lambda f: json.dumps(
+                        calculate_skewt_data(_read_log(f)), default=str))
+                elif path == "/export_log_file":
+                    from radiosonde_auto_rx_tpu.web.log_files import \
+                        log_file_to_kml
+                    self._log_route(
+                        lambda f: log_file_to_kml(f),
+                        ctype="application/vnd.google-earth.kml+xml")
+                elif path == "/download_log_files":
+                    from radiosonde_auto_rx_tpu.web.log_files import \
+                        zip_log_files
+                    serials = self._qs().get("serial", None)
+                    self._send(zip_log_files(outer._log_dir(), serials),
+                               "application/zip")
                 else:
                     self._send(json.dumps({"error": "not found"}), code=404)
+
+            # -- control endpoints (reference web.py :445-661) ---------- #
+
+            def do_POST(self):
+                path = urlparse(self.path).path
+                length = int(self.headers.get("Content-Length", 0) or 0)
+                from urllib.parse import parse_qs
+                form = {k: v[0] for k, v in
+                        parse_qs(self.rfile.read(length).decode()).items()}
+                if not outer.config.get("web_control", False):
+                    self._send(json.dumps({"error": "control disabled"}),
+                               code=403)
+                    return
+                password = outer.config.get("web_password", "none")
+                if password in ("none", "") or \
+                        form.get("password") != password:
+                    self._send(json.dumps({"error": "auth failed"}),
+                               code=403)
+                    return
+                st = outer.station
+                if st is None:
+                    self._send(json.dumps({"error": "no station"}), code=503)
+                    return
+                try:
+                    if path == "/start_decoder":
+                        ci = st.start_manual_decoder(
+                            float(form["frequency"]), form["type"])
+                        self._send(json.dumps({"ok": True, "channel": ci}))
+                    elif path == "/stop_decoder":
+                        ci = st.stop_decoder(
+                            float(form["frequency"]),
+                            float(form.get("lockout", 0)))
+                        self._send(json.dumps({"ok": True, "channel": ci}))
+                    elif path == "/enable_scanner":
+                        st.scan_enabled = True
+                        self._send(json.dumps({"ok": True}))
+                    elif path == "/disable_scanner":
+                        st.scan_enabled = False
+                        self._send(json.dumps({"ok": True}))
+                    else:
+                        self._send(json.dumps({"error": "not found"}),
+                                   code=404)
+                except (KeyError, ValueError) as e:
+                    self._send(json.dumps({"error": str(e)}), code=400)
+
+            # -- helpers ------------------------------------------------ #
+
+            def _qs(self):
+                from urllib.parse import parse_qs
+                return parse_qs(urlparse(self.path).query)
+
+            def _log_route(self, render, ctype="application/json"):
+                """Resolve ?serial=X to its log file and render it."""
+                serial = self._qs().get("serial", [None])[0]
+                f = outer._log_for_serial(serial)
+                if f is None:
+                    self._send(json.dumps({"error": "unknown serial"}),
+                               code=404)
+                    return
+                self._send(render(f), ctype)
+
+        def _read_log(filename, decimation=1):
+            from radiosonde_auto_rx_tpu.web.log_files import read_log_file
+            return read_log_file(filename, decimation=decimation)
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self.port = self._server.server_address[1]
         self._thread = None
+
+    def _log_dir(self):
+        return self.config.get("log_directory", "./log/")
+
+    def _log_for_serial(self, serial):
+        """Find the log file whose filename carries this serial."""
+        if not serial:
+            return None
+        import glob
+        import os
+        safe = "".join(c for c in str(serial) if c.isalnum() or c in "-_")
+        hits = sorted(glob.glob(os.path.join(self._log_dir(),
+                                             f"*_{safe}_*_sonde.log")))
+        return hits[-1] if hits else None
 
     def task_list(self):
         if self.station is None:

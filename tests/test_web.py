@@ -122,3 +122,142 @@ def test_replay(logdir):
     n = replay_log_file(files[0]["filename"], [c])
     assert n == 20 and len(c.items) == 20
     assert c.items[0]["id"] == "S7654321"
+
+
+# ---- extended routes + control endpoints ---------------------------------
+
+def _spin_server(tmp_path, station=None, control=False, password="none"):
+    from radiosonde_auto_rx_tpu.web.server import WebExporter, WebServer
+    cfg = {"log_directory": str(tmp_path), "web_control": control,
+           "web_password": password}
+    web = WebServer(station=station, web_exporter=WebExporter(),
+                    config=cfg, host="127.0.0.1", port=0)
+    web.start()
+    return web
+
+
+def _get(port, path):
+    import urllib.request
+    import urllib.error
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def _post(port, path, data):
+    import urllib.request
+    import urllib.parse
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=urllib.parse.urlencode(data).encode(), method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def _make_log(tmp_path, serial="W9988776"):
+    from radiosonde_auto_rx_tpu.exporters.logfile import (
+        LOG_HEADER, telemetry_to_log_line)
+    lines = [LOG_HEADER]
+    for i in range(10):
+        lines.append(telemetry_to_log_line(dict(
+            datetime="2026-08-17T01:02:%02dZ" % i, id=serial, frame=i,
+            lat=50.0, lon=10.0 + i * 1e-4, alt=1000.0 + 100 * i,
+            vel_v=5.0, vel_h=10.0, heading=45.0, temp=-10.0 - i,
+            humidity=60.0, pressure=-1, type="RS41", freq_float=402.5,
+            snr=15.0, f_error=0, sats=9, batt=2.9)))
+    p = tmp_path / ("20260817-010203_%s_RS41_402.500_sonde.log" % serial)
+    p.write_text("".join(ln if ln.endswith("\n") else ln + "\n"
+                         for ln in lines))
+    return serial
+
+
+def test_log_detail_and_skewt_routes(tmp_path):
+    import json
+    serial = _make_log(tmp_path)
+    web = _spin_server(tmp_path)
+    try:
+        code, body = _get(web.port, f"/get_log_detail?serial={serial}"
+                          "&decimation=1")
+        assert code == 200
+        d = json.loads(body)
+        assert d["serial"] == serial and len(d["alt"]) == 10
+        code, body = _get(web.port, f"/get_skewt_data?serial={serial}")
+        assert code == 200
+        sk = json.loads(body)
+        assert sk and sk[0]["hght"] == 1000.0 and "press" in sk[0]
+        code, body = _get(web.port, f"/export_log_file?serial={serial}")
+        assert code == 200 and b"<kml" in body
+        code, body = _get(web.port, "/download_log_files")
+        assert code == 200 and body[:2] == b"PK"
+        code, _ = _get(web.port, "/get_skewt_data?serial=NOPE")
+        assert code == 404
+    finally:
+        web.close()
+
+
+class _StubStation:
+    def __init__(self):
+        self.scan_enabled = True
+        self.calls = []
+        self.active = {}
+        self.center_freq = 402.5e6
+        import numpy as np
+        self.freqs = np.zeros(1)
+
+    def start_manual_decoder(self, f, t):
+        self.calls.append(("start", f, t))
+        return 3
+
+    def stop_decoder(self, f, lockout=0):
+        self.calls.append(("stop", f, lockout))
+        return 3
+
+
+def test_control_endpoints(tmp_path):
+    st = _StubStation()
+    web = _spin_server(tmp_path, station=st, control=True, password="pw1")
+    try:
+        # wrong password
+        code, _ = _post(web.port, "/start_decoder",
+                        dict(password="nope", frequency="402500000",
+                             type="RS41"))
+        assert code == 403
+        code, _ = _post(web.port, "/start_decoder",
+                        dict(password="pw1", frequency="402500000",
+                             type="RS41"))
+        assert code == 200 and st.calls[-1][0] == "start"
+        code, _ = _post(web.port, "/stop_decoder",
+                        dict(password="pw1", frequency="402500000",
+                             lockout="5"))
+        assert code == 200 and st.calls[-1] == ("stop", 402500000.0, 5.0)
+        code, _ = _post(web.port, "/disable_scanner", dict(password="pw1"))
+        assert code == 200 and st.scan_enabled is False
+        code, _ = _post(web.port, "/enable_scanner", dict(password="pw1"))
+        assert code == 200 and st.scan_enabled is True
+    finally:
+        web.close()
+
+
+def test_control_disabled_by_default(tmp_path):
+    web = _spin_server(tmp_path, station=_StubStation(), control=False)
+    try:
+        code, _ = _post(web.port, "/enable_scanner", dict(password="x"))
+        assert code == 403
+    finally:
+        web.close()
+
+
+def test_control_requires_password_set(tmp_path):
+    # web_control on but password left at "none": must refuse
+    web = _spin_server(tmp_path, station=_StubStation(), control=True,
+                      password="none")
+    try:
+        code, _ = _post(web.port, "/enable_scanner", dict(password="none"))
+        assert code == 403
+    finally:
+        web.close()
