@@ -171,8 +171,12 @@ def _dft_mats(cfg: FSKConfig):
 # frequency estimation
 # ----------------------------------------------------------------------------
 
-# Fused Pallas spectral pass: None = auto (on for TPU backends), or force
-# with set_pallas_freq_est(True/False) (bench/tests).
+# Fused Pallas spectral pass.  Measured on a v5e chip it is throughput-
+# neutral vs the einsum path (77.7 vs 79.1 Msps on the RS41 x512-channel
+# bench — the demod block is not freq-est-bound) while costing ~15 min of
+# Mosaic compile for the unrolled hop loop, so it is OFF by default and
+# kept as an opt-in (set_pallas_freq_est(True) or RSX_PALLAS_SF=1) and as
+# the base for future whole-block fusion.
 _PALLAS_SF: bool | None = None
 
 
@@ -187,7 +191,8 @@ def set_pallas_freq_est(enable: bool | None):
 def _pallas_sf_enabled() -> bool:
     if _PALLAS_SF is not None:
         return _PALLAS_SF
-    return jax.devices()[0].platform == "tpu"
+    import os
+    return os.environ.get("RSX_PALLAS_SF", "0") == "1"
 
 
 def _freq_est(cfg: FSKConfig, xw: jnp.ndarray, sf: jnp.ndarray):
