@@ -55,6 +55,8 @@ def parse_args(argv=None):
     ap.add_argument("--no-web", action="store_true",
                     help="disable the status web server")
     ap.add_argument("--log-dir", default="./log/")
+    ap.add_argument("--checkpoint", default=None, metavar="PATH",
+                    help="resume task state from PATH and keep it updated")
     return ap.parse_args(argv)
 
 
@@ -190,6 +192,11 @@ def run_station(args, config) -> int:
         web.start()
         log.info("web server on port %d", web.port)
 
+    if args.checkpoint:
+        from radiosonde_auto_rx_tpu.station.checkpoint import \
+            load_station_state
+        load_station_state(station, args.checkpoint)
+
     forced_chan = None
     if args.frequency is not None:
         forced_chan = station.channel_of_freq(args.frequency * 1e6)
@@ -227,6 +234,10 @@ def run_station(args, config) -> int:
                 telems = station.process_capture(block)
             n_blocks += 1
             station.clean_task_list()
+            if args.checkpoint:
+                from radiosonde_auto_rx_tpu.station.checkpoint import \
+                    save_station_state
+                save_station_state(station, args.checkpoint)
             if telems:
                 log.info("block %d: %d telemetry frames", n_blocks,
                          len(telems))

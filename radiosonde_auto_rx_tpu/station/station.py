@@ -209,7 +209,10 @@ class Station:
 
         model_name = MODEL_NAME.get(name, name)
         state = self.active.get(ci)
-        if state is None or state["type"] != name:
+        # decoder is None after checkpoint resume: rebuild (decoders are
+        # stateless by design and re-lock on the next block)
+        if state is None or state["type"] != name or \
+                state.get("decoder") is None:
             decoder_cls = get_model(model_name)
             kwargs = {}
             if model_name == "RS92":
