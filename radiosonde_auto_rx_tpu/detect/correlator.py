@@ -103,6 +103,33 @@ def _headcmp(x_c, spec, start, fs, inverted, dc):
     return int(np.sum(bits != want))
 
 
+def _frm_m10_m20(x_c, spec, start, fs, inverted, dc):
+    """Disambiguate M10 vs M20 by decoding the frame length/type bytes
+    right after the header (reference frm_M10, dft_detect.c:932-965).
+
+    Returns "M10", "M20", or None (bytes implausible)."""
+    from radiosonde_auto_rx_tpu.models.m10 import (
+        STD_FLEN_M10, STD_FLEN_M20, TYPE_M10, TYPE_M10PLUS, TYPE_M20,
+        TYPE_M2K2, pairs_to_bits, diff_decode)
+    from radiosonde_auto_rx_tpu.demod.framing import bits_to_bytes_be
+    spb = fs / spec.sps
+    n_raw = 2 * 8 * 2                       # two bytes of raw pair bits
+    idx = (start + (np.arange(n_raw) + 0.5) * spb).astype(int)
+    idx = idx[idx < len(x_c)]
+    if len(idx) < n_raw:
+        return None
+    raw = ((x_c[idx] - dc) > 0).astype(np.uint8)
+    if inverted:
+        raw = 1 - raw
+    by = bits_to_bytes_be(diff_decode(pairs_to_bits(raw), b0=0))
+    flen, ftype = int(by[0]), int(by[1])
+    if ftype == TYPE_M20 or flen == STD_FLEN_M20:
+        return "M20"
+    if ftype in (TYPE_M10, TYPE_M10PLUS, TYPE_M2K2) or flen == STD_FLEN_M10:
+        return "M10"
+    return "M10"      # header matched; default like the reference
+
+
 def detect_types(x, bank, lens, specs, fm_gain_hz=None, max_det=1,
                  fs=48000):
     """Detect sonde types in FM stream(s).
@@ -140,8 +167,14 @@ def detect_types(x, bank, lens, specs, fm_gain_hz=None, max_det=1,
                 off = 0.0
                 if fm_gain_hz is not None:
                     off = float(xm[c]) * fm_gain_hz
+                name = spec.name
+                if name == "M10":
+                    sub = _frm_m10_m20(xnp[c], spec, ipk + int(lens[k]),
+                                       fs, val < 0, float(dc[c, k, ipk]))
+                    if sub is not None:
+                        name = sub
                 dets.append(Detection(
-                    name=spec.name, tn=spec.tn, score=abs(val),
+                    name=name, tn=spec.tn, score=abs(val),
                     position=ipk + int(lens[k]),
                     inverted=val < 0, freq_offset=off))
         dets.sort(key=lambda d: d.score, reverse=True)

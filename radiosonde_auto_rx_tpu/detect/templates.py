@@ -38,7 +38,13 @@ _H = {
              "0001101010100111" "0011110100111110"),
     "IMET5": "0000000001" "0101010101" "0001001001" "0001001001",
     "MK2LMS": "0010100111" "0010100111" "0001001001" "0010010101",
-    "M10": "1001100110010100110010011001" "1010",
+    # full 32-bit raw header (demod/mod/m10mod.c:76).  The reference's
+    # detect template instead drops 4 leading bits and appends 4 raw bits
+    # of the length byte under its pair convention (dft_detect.c:66-67) —
+    # with pair/diff encoding both raw polarities occur in the wild, and
+    # the full header matches either via inverted detection while the
+    # data-tail variant anticorrelates for one of them.
+    "M10": "10011001100110010100110010011001",
     "MEISEI": "110011001101001101001101010100101010110010101010",
     "RD94RD41": ("10100110010110101001" "10010101011010010101"
                  "10101001010101010101" "10011001010110101001"),

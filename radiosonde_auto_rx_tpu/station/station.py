@@ -53,11 +53,12 @@ CHAIN_TABLE = {
     # (tone-pair) estimator is required to lock the true FSK tones
     "RS92": dict(rs=4800, est=5000, mask=4800),
     "DFM": dict(rs=2400, est=5000),        # ref: 2500 Bd at 50 kHz
-    # M10/M20 run at 9615.4 Bd: resample the 48 kHz channel to 48.08 kHz
-    # so Ts = 5 exactly (reference uses tsrc for the same ratio,
-    # auto_rx/test/README.md:13-22)
+    # M10 runs at 9615.4 Bd: resample the 48 kHz channel to 48.08 kHz so
+    # Ts = 5 exactly (reference uses tsrc for the same ratio,
+    # auto_rx/test/README.md:13-22).  M20 is 9600 Bd (dft_detect.c:70-75)
+    # which divides 48 kHz exactly — no resampling.
     "M10": dict(rs=9616, est=10000, resample_to=48080),
-    "M20": dict(rs=9616, est=10000, resample_to=48080),
+    "M20": dict(rs=9600, est=10000),
     "LMS6": dict(rs=4800, est=10000),
     "IMET5": dict(rs=4800, est=5000, mask=5000),
     "MEISEI": dict(rs=2400, est=10000),

@@ -171,3 +171,28 @@ def test_sonde_detector_end_to_end():
     res = det.detect(jnp.asarray(x))
     assert res[0] and res[0][0].name == "RS41", res[0]
     assert res[1] and res[1][0].name == "DFM", res[1]
+
+
+def test_m10_vs_m20_disambiguation():
+    """Detector decodes the flen/type bytes after the M10 header to split
+    M10 from M20 (reference frm_M10, dft_detect.c:932-965)."""
+    from radiosonde_auto_rx_tpu.models.m10 import (
+        encode_frame_m10, encode_frame_m20, frame_to_raw_bits)
+    spec = next(s for s in TEMPLATES if s.name == "M10")
+    bank, lens, specs = build_template_bank(FS)
+    for enc, want in ((encode_frame_m10, "M10"), (encode_frame_m20, "M20")):
+        raw = frame_to_raw_bits(enc())
+        # frame_to_raw_bits includes the raw header; skip template's lead
+        rng = np.random.default_rng(7)
+        tx = np.concatenate([np.tile([1, 0], 200), raw,
+                             rng.integers(0, 2, 200)])
+        spb = FS / spec.sps
+        T = int(len(tx) * spb)
+        i = np.arange(T)
+        sym = tx[np.minimum((i / spb).astype(int), len(tx) - 1)]
+        fm = (sym.astype(np.float64) * 2 - 1).astype(np.float32)
+        fm += np.random.default_rng(8).normal(0, 0.05, T).astype(np.float32)
+        dets = detect_types(fm, bank, lens, specs, max_det=1)
+        assert dets, f"no detection for {want}"
+        assert dets[0].name == want, \
+            f"got {dets[0].name}, want {want}"
