@@ -64,13 +64,20 @@ CHAIN_TABLE = {
     "MEISEI": dict(rs=2400, est=10000),
     "MRZ": dict(rs=4800, est=10000),
     "MTS01": dict(rs=1200, est=5000),
+    # iMet-1/4: Bell-202 AFSK rides on the FM audio — discriminate first,
+    # then run the FSK engine on the audio tones (imet/imet4iq.c chain,
+    # decode.py:608-660)
+    "IMET4": dict(afsk=True),
+    "IMET1RS": dict(afsk=True),
+    "IMET1AB": dict(afsk=True),
     "WXR301": dict(rs=4800, est=10000),
     "WXRPN9": dict(rs=4800, est=10000),
     "RD94RD41": dict(rs=9600, est=20000),
 }
 
 # detector type name -> models registry name
-MODEL_NAME = {"RD94RD41": "DROPSONDE", "IMET4": "IMET", "IMET1RS": "IMET"}
+MODEL_NAME = {"RD94RD41": "DROPSONDE", "IMET4": "IMET", "IMET1RS": "IMET",
+              "IMET1AB": "IMET"}
 
 
 class Station:
@@ -202,11 +209,24 @@ class Station:
             from radiosonde_auto_rx_tpu.ops.resample import resample_planes
             iq_ch = resample_planes(iq_ch, fs, chain["resample_to"])
             fs = chain["resample_to"]
-        cfg = _demod_cfg(fs, chain["rs"], chain.get("est", 10000),
-                         chain.get("mask", 0))
-        soft, bits, stats, _ = fsk_demod_stream(cfg, iq_ch[None])
-        bits = np.asarray(bits)[0]
-        soft = np.asarray(soft)[0]
+        if chain.get("afsk"):
+            # FM-discriminate, then FSK-demod the Bell-202 audio tones
+            from radiosonde_auto_rx_tpu.ops.fm import fm_discriminate
+            from radiosonde_auto_rx_tpu.models.imet4 import \
+                afsk_demod_config
+            z = iq_ch[0] + 1j * iq_ch[1]
+            audio = fm_discriminate(z[None])[0]
+            planes = jnp.stack([audio, jnp.zeros_like(audio)])[None]
+            cfg = afsk_demod_config(fs)
+            _, bits, stats, _ = fsk_demod_stream(cfg, planes)
+            bits = 1 - np.asarray(bits)[0]   # sym 0 = 1200 Hz = bit 1
+            soft = None
+        else:
+            cfg = _demod_cfg(fs, chain["rs"], chain.get("est", 10000),
+                             chain.get("mask", 0))
+            soft, bits, stats, _ = fsk_demod_stream(cfg, iq_ch[None])
+            bits = np.asarray(bits)[0]
+            soft = np.asarray(soft)[0]
 
         model_name = MODEL_NAME.get(name, name)
         state = self.active.get(ci)
@@ -235,7 +255,8 @@ class Station:
         freq_hz = self.center_freq + self.freqs[ci]
         snr_db = float(np.asarray(stats["ebno_db"]).max()) \
             if "ebno_db" in stats else None
-        raw_telems = decoder.decode_bits(bits, -soft)
+        raw_telems = decoder.decode_bits(
+            bits, None if soft is None else -soft)
         out = []
         for t in raw_telems:
             t = enrich_telemetry(

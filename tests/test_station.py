@@ -228,3 +228,33 @@ def test_station_full_cycle():
     assert abs(t["freq_float"] - (402.5 + st.freqs[5] / 1e6)) < 1e-6
     assert col.items, "exporter did not receive telemetry"
     assert st.stats["frames_ok"] >= 1
+
+
+def test_station_imet4_afsk_cycle():
+    """iMet-4 (FM-carried Bell-202 AFSK) through scan -> detect -> AFSK
+    chain -> telemetry with the synthetic IMET-xxxxxxxx ID."""
+    from radiosonde_auto_rx_tpu.models.imet4 import (
+        afsk_modulate, encode_frame_bits, encode_gps_packet,
+        encode_eptu_packet)
+    rng = np.random.default_rng(1)
+    frame = encode_frame_bits(
+        [encode_gps_packet(lat=45.46, lon=9.19, alt=2500),
+         encode_eptu_packet()], sync_bits=160)
+    tx = np.concatenate([rng.integers(0, 2, 150), frame, frame,
+                         rng.integers(0, 2, 300)]).astype(np.uint8)
+    fs = 2_400_000
+    audio = afsk_modulate(tx, fs=fs).astype(np.float64)
+    ph = 2 * np.pi * np.cumsum(3000.0 * audio + 48000 * 8) / fs
+    wide = np.exp(1j * ph).astype(np.complex64)
+    wide += (rng.standard_normal(len(wide)) + 1j *
+             rng.standard_normal(len(wide))).astype(np.complex64) * 0.002
+    col = _CollectExporter()
+    st = Station({"capture_rate": fs, "num_channels": 50,
+                  "sonde_time_threshold": 24},
+                 exporters=[col], center_freq_hz=402.5e6)
+    telems = st.process_capture(wide)
+    assert telems, "no iMet telemetry through the station"
+    t = telems[-1]
+    assert t["type"] == "IMET" and t["id"].startswith("IMET-")
+    assert abs(t["lat"] - 45.46) < 1e-3
+    assert st.active and list(st.active.values())[0]["type"] == "IMET4"
