@@ -212,36 +212,68 @@ def run_station(args, config) -> int:
     deadline = time.time() + args.timeout * 60 if args.timeout else None
     source = None
     code = EXIT_OK
+    # SDR sources are retried with a reset on unexpected EOF (reference
+    # scan.py retries w/ reset_sdr up to 5 consecutive errors :668,905-925);
+    # replay files end naturally after one pass.
+    max_retries = 0 if args.replay else 5
+    retries = 0
     try:
-        source = BlockSource(config, args)
         n_blocks = 0
-        for block in source.blocks():
-            if stop["flag"] or (deadline and time.time() > deadline):
-                break
-            if forced_chan is not None:
-                from radiosonde_auto_rx_tpu.ops.channelizer import channelize
-                ch = channelize(block, station.n_chan, station.pfb_taps)
-                if args.sonde_type:
-                    telems = station.decode_channel(
-                        ch[forced_chan], forced_chan, args.sonde_type)
+        while True:
+            source = BlockSource(config, args)
+            got_any = False
+            for block in source.blocks():
+                if stop["flag"] or (deadline and time.time() > deadline):
+                    break
+                got_any = True
+                if forced_chan is not None:
+                    from radiosonde_auto_rx_tpu.ops.channelizer import \
+                        channelize
+                    ch = channelize(block, station.n_chan, station.pfb_taps)
+                    if args.sonde_type:
+                        telems = station.decode_channel(
+                            ch[forced_chan], forced_chan, args.sonde_type)
+                    else:
+                        dets = station.detector.detect(
+                            np.asarray(ch[forced_chan])[None])[0]
+                        telems = (station.decode_channel(
+                            ch[forced_chan], forced_chan, dets[0].name,
+                            dets[0]) if dets else [])
                 else:
-                    dets = station.detector.detect(
-                        np.asarray(ch[forced_chan])[None])[0]
-                    telems = (station.decode_channel(
-                        ch[forced_chan], forced_chan, dets[0].name, dets[0])
-                        if dets else [])
-            else:
-                telems = station.process_capture(block)
-            n_blocks += 1
-            station.clean_task_list()
-            if args.checkpoint:
-                from radiosonde_auto_rx_tpu.station.checkpoint import \
-                    save_station_state
-                save_station_state(station, args.checkpoint)
-            if telems:
-                log.info("block %d: %d telemetry frames", n_blocks,
-                         len(telems))
-        log.info("source drained after %d blocks; stats=%s", n_blocks,
+                    telems = station.process_capture(block)
+                n_blocks += 1
+                retries = 0
+                station.clean_task_list()
+                if args.checkpoint:
+                    from radiosonde_auto_rx_tpu.station.checkpoint import \
+                        save_station_state
+                    save_station_state(station, args.checkpoint)
+                if telems:
+                    log.info("block %d: %d telemetry frames", n_blocks,
+                             len(telems))
+            source.close()
+            source = None
+            if stop["flag"] or (deadline and time.time() > deadline) or \
+                    max_retries == 0:
+                break
+            retries += 1
+            if retries > max_retries:
+                log.critical("SDR source died %d times — giving up",
+                             retries)
+                code = EXIT_SOURCE
+                break
+            log.warning("SDR source ended unexpectedly (%s blocks); "
+                        "resetting and retrying %d/%d",
+                        "no" if not got_any else n_blocks, retries,
+                        max_retries)
+            try:
+                from radiosonde_auto_rx_tpu.sources.sdr_wrappers import \
+                    reset_sdr
+                reset_sdr(config.get("sdr_type", "RTLSDR"))
+            except Exception:
+                log.exception("SDR reset failed")
+            time.sleep(min(2.0 * retries, 10.0))
+        log.info("stopped after %d blocks; stats=%s", n_blocks,
                  station.stats)
     except FileNotFoundError as e:
         log.critical("capture source failed: %s", e)

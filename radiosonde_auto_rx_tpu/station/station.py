@@ -73,6 +73,11 @@ CHAIN_TABLE = {
     "WXR301": dict(rs=4800, est=10000),
     "WXRPN9": dict(rs=4800, est=10000),
     "RD94RD41": dict(rs=9600, est=20000),
+    # LMS6-1680/MK2A: 9616 Bd wide-deviation 2FSK on a 240 kHz channel
+    # (reference decode.py:661-699: 240 kHz IQ, mk2a1680mod --decFM; the
+    # fsk_demod chain used mask=100000).  Needs a wideband station
+    # (num_channels sized so fs_ch=240 kHz); resample 601/600 -> Ts=25.
+    "MK2LMS": dict(rs=9616, est=110000, mask=100000, resample_to=240400),
 }
 
 # detector type name -> models registry name
@@ -132,20 +137,29 @@ class Station:
 
     def scan(self, wideband_iq) -> list:
         """PSD scan -> candidate channel indices
-        (reference scan.py sonde_search :948-1097)."""
-        planes = self._wide_planes(wideband_iq)
-        pfreqs, psd = power_spectrum(planes[None], nfft=2048,
-                                     fs=self.fs_wide)
-        psd = psd[0]
-        peaks, nf = scan_peaks(
-            psd, pfreqs,
-            snr_threshold=self.config["snr_threshold"],
-            min_distance_hz=self.config["min_distance"] * 10,
-            quantization_hz=self.fs_wide / self.n_chan,
-            never_scan=[f * 1e6 - self.center_freq
-                        for f in self.config["never_scan"]])
-        chans = sorted({int(np.argmin(np.abs(self.freqs - p)))
-                        for p in peaks})
+        (reference scan.py sonde_search :948-1097; only_scan/always_scan
+        semantics from scan.py:1034-1097)."""
+        if self.config["only_scan"]:
+            # whitelist mode: skip the PSD pass entirely
+            chans = [self.channel_of_freq(f * 1e6)
+                     for f in self.config["only_scan"]]
+        else:
+            planes = self._wide_planes(wideband_iq)
+            pfreqs, psd = power_spectrum(planes[None], nfft=2048,
+                                         fs=self.fs_wide)
+            psd = psd[0]
+            peaks, nf = scan_peaks(
+                psd, pfreqs,
+                snr_threshold=self.config["snr_threshold"],
+                min_distance_hz=self.config["min_distance"] * 10,
+                quantization_hz=self.fs_wide / self.n_chan,
+                never_scan=[f * 1e6 - self.center_freq
+                            for f in self.config["never_scan"]])
+            chans = sorted({int(np.argmin(np.abs(self.freqs - p)))
+                            for p in peaks})
+            # always_scan frequencies join every detect pass
+            for f_mhz in self.config["always_scan"]:
+                chans.append(self.channel_of_freq(f_mhz * 1e6))
         for f_mhz in self.config["always_decode"]:
             chans.append(self.channel_of_freq(f_mhz * 1e6))
         chans = [c for c in chans

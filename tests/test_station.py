@@ -258,3 +258,42 @@ def test_station_imet4_afsk_cycle():
     assert t["type"] == "IMET" and t["id"].startswith("IMET-")
     assert abs(t["lat"] - 45.46) < 1e-3
     assert st.active and list(st.active.values())[0]["type"] == "IMET4"
+
+
+def test_station_wideband_mk2lms_channel():
+    """LMS6-1680/MK2A on a 240 kHz wideband-station channel
+    (reference decode.py:661-699): 601/600 resample -> 9616 Bd demod."""
+    from radiosonde_auto_rx_tpu.demod.modulate import gfsk_mod, add_awgn
+    from radiosonde_auto_rx_tpu.models.mk2lms import encode_flight_bits
+    from radiosonde_auto_rx_tpu.ops.resample import resample_planes
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    raw = encode_flight_bits(sid32=7654321, n_frames=4, lat=51.0, lon=7.0,
+                             alt=15000.0)
+    tx = np.concatenate([np.tile([1, 0], 300), raw,
+                         np.tile([1, 0], 300)]).astype(np.uint8)
+    iq = add_awgn(gfsk_mod(tx, 240400, 9616, 2, 0.0, 100000, bt=1.0),
+                  18.0, 240400, 9616)
+    ch240 = resample_planes(np.stack([iq.real, iq.imag]).astype(np.float32),
+                            240400, 240000)
+    col = _CollectExporter()
+    st = Station({"capture_rate": 2_400_000, "num_channels": 10,
+                  "sonde_time_threshold": 48},
+                 exporters=[col], center_freq_hz=1680e6)
+    assert st.fs_ch == 240000
+    telems = st.decode_channel(jnp.asarray(np.asarray(ch240)), 2, "MK2LMS")
+    assert telems
+    t = telems[-1]
+    assert t["id"] == "LMS6-7654321" and t["subtype"] == "MK2A"
+    assert abs(t["lat"] - 51.0) < 1e-4
+
+
+def test_station_only_scan_whitelist():
+    """only_scan skips the PSD pass and scans exactly the whitelist."""
+    st = Station({"capture_rate": 2_400_000, "num_channels": 50,
+                  "only_scan": [402.5 + 48000 * 3 / 1e6]},
+                 exporters=[], center_freq_hz=402.5e6)
+    rng = np.random.default_rng(0)
+    wide = (rng.standard_normal((2, 240_000)) * 0.01).astype(np.float32)
+    chans = st.scan(wide)
+    assert chans == [3]
