@@ -46,7 +46,9 @@ class TelemetryLogger:
 
     FILE_ACTIVITY_TIMEOUT = 300
 
-    def __init__(self, log_directory="./log/", start_thread=True):
+    def __init__(self, log_directory="./log/", start_thread=True,
+                 save_cal_data=False):
+        self.save_cal_data = save_cal_data
         self.log_directory = log_directory
         os.makedirs(log_directory, exist_ok=True)
         self.open_logs = {}          # id -> (file, last_time)
@@ -97,6 +99,13 @@ class TelemetryLogger:
         f.write(telemetry_to_log_line(telemetry))
         f.flush()
         self.open_logs[sid][1] = time.time()
+        # RS41 51x16 calibration subframe -> binary sidecar, once per
+        # sonde (reference logger.py log_rs41_subframe :280)
+        if self.save_cal_data and "rs41_calconf51x16" in telemetry:
+            sub_path = f.name.replace("_sonde.log", "_subframe.bin")
+            if not os.path.exists(sub_path):
+                with open(sub_path, "wb") as sf:
+                    sf.write(bytes.fromhex(telemetry["rs41_calconf51x16"]))
 
     def cleanup_logs(self):
         now = time.time()

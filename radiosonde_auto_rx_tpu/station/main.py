@@ -67,7 +67,8 @@ def build_exporters(config, web_exporter=None):
     if config.get("per_sonde_log", True):
         from radiosonde_auto_rx_tpu.exporters.logfile import TelemetryLogger
         exporters.append(TelemetryLogger(
-            log_directory=config.get("log_directory", "./log/")))
+            log_directory=config.get("log_directory", "./log/"),
+            save_cal_data=config.get("save_cal_data", False)))
     if config.get("sondehub_enabled"):
         from radiosonde_auto_rx_tpu.exporters.sondehub import SondehubUploader
         exporters.append(SondehubUploader(

@@ -58,3 +58,27 @@ def test_snr_map_range_gates(tmp_path):
                "P4", 0.01, 0.0, 1000.0)     # ~1 km: inside min_range
     grid, counts = stats.snr_map(str(tmp_path), station)
     assert counts.sum() == 0
+
+
+def test_rs41_subframe_sidecar(tmp_path):
+    """TelemetryLogger writes the 51x16 cal subframe once as binary
+    (reference logger.py:280)."""
+    from radiosonde_auto_rx_tpu.exporters.logfile import TelemetryLogger
+    lg = TelemetryLogger(log_directory=str(tmp_path), start_thread=False,
+                         save_cal_data=True)
+    cal = bytes(range(256)) * 3 + bytes(48)      # 816 = 51*16
+    t = dict(datetime="2026-08-17T01:02:03Z", id="S5556667", frame=1,
+             lat=1.0, lon=2.0, alt=3.0, type="RS41", freq_float=402.5,
+             rs41_calconf51x16=cal.hex().upper())
+    lg.write_telemetry(t)
+    lg.close()
+    sub = list(tmp_path.glob("*_subframe.bin"))
+    assert sub and sub[0].read_bytes() == cal
+
+
+def test_version_check_offline():
+    from radiosonde_auto_rx_tpu.utils.version import (check_autorx_version,
+                                                      version_startup_check)
+    assert version_startup_check()
+    r = check_autorx_version(timeout=0.2)
+    assert r["local"] and "up_to_date" in r
