@@ -139,3 +139,13 @@ def test_halo_exchange_contents():
             np.testing.assert_array_equal(y[s, :halo], want)
         np.testing.assert_array_equal(
             y[s, halo:], np.arange(s * t_local, (s + 1) * t_local))
+
+
+def test_multihost_helpers_single_process():
+    """multihost helpers degrade cleanly in single-process mode."""
+    from radiosonde_auto_rx_tpu.parallel import multihost
+    multihost.initialize()            # no coordinator: no-op
+    mesh = multihost.global_mesh(n_t=2)
+    assert mesh.shape["t"] == 2 and mesh.shape["ch"] * 2 == len(jax.devices())
+    lo, hi = multihost.local_channel_slice(100)
+    assert (lo, hi) == (0, 100)
