@@ -346,19 +346,36 @@ def fsk_demod_block(cfg: FSKConfig, xw: jnp.ndarray, state: FSKState,
                 - (norm_timing < -0.25).astype(jnp.int32) * (cfg.ts // 2))
 
     # --- resample integrators at the timing estimate (fsk.c:737-757) ---
+    # low = floor(rx_timing) only spans [-(P//2+1), P//2], so instead of a
+    # per-channel gather (TPU gathers on the minor dim run near scalar
+    # speed — measured ~18 ms/block at C=512, ~90% of the whole block)
+    # take every candidate shift as a static strided slice and select:
+    # same numerics, pure vector ops.
     low = jnp.floor(rx_timing).astype(jnp.int32)                  # [C]
     fract = rx_timing - low.astype(jnp.float32)
-    st_idx = (jnp.arange(nsym, dtype=jnp.int32) + 1) * P          # [nsym]
-    gidx = st_idx[None, :] + low[:, None]                         # [C, nsym]
-    gidx = jnp.clip(gidx, 0, ni - 2)
-    gexp = gidx[:, None, :].repeat(M, 1)
-    vl_re = jnp.take_along_axis(fi_re, gexp, axis=2)
-    vl_im = jnp.take_along_axis(fi_im, gexp, axis=2)
-    vh_re = jnp.take_along_axis(fi_re, gexp + 1, axis=2)
-    vh_im = jnp.take_along_axis(fi_im, gexp + 1, axis=2)
+    lo_min, lo_max = -(P // 2 + 1), P // 2
+    low = jnp.clip(low, lo_min, lo_max)
+    # candidate s: v[c, m, k] = fi[c, m, (k+1)*P + s] for k in [0, nsym)
+    fi_re_s = fi_re.reshape(C, M, nsym + 1, P)
+    fi_im_s = fi_im.reshape(C, M, nsym + 1, P)
+
+    def shifted(arr_s, s):
+        # flat index (k+1)*P + s == [q + k, r] of the [nsym+1, P] view
+        q, r = divmod(P + s, P)
+        return arr_s[:, :, q:q + nsym, r]
+    v_re = jnp.zeros((C, M, nsym), jnp.float32)
+    v_im = jnp.zeros((C, M, nsym), jnp.float32)
+    vh_re = jnp.zeros((C, M, nsym), jnp.float32)
+    vh_im = jnp.zeros((C, M, nsym), jnp.float32)
+    for s in range(lo_min, lo_max + 1):
+        sel = (low == s)[:, None, None]
+        v_re = jnp.where(sel, shifted(fi_re_s, s), v_re)
+        v_im = jnp.where(sel, shifted(fi_im_s, s), v_im)
+        vh_re = jnp.where(sel, shifted(fi_re_s, s + 1), vh_re)
+        vh_im = jnp.where(sel, shifted(fi_im_s, s + 1), vh_im)
     fr = fract[:, None, None]
-    v_re = vl_re * (1.0 - fr) + vh_re * fr
-    v_im = vl_im * (1.0 - fr) + vh_im * fr
+    v_re = v_re * (1.0 - fr) + vh_re * fr
+    v_im = v_im * (1.0 - fr) + vh_im * fr
     tmag = jnp.sqrt(v_re * v_re + v_im * v_im)                    # [C, M, nsym]
 
     # --- hard bits + soft decisions (fsk.c:760-805) ---
