@@ -221,8 +221,10 @@ def _freq_est(cfg: FSKConfig, xw: jnp.ndarray, sf: jnp.ndarray):
                              tuple(starts.tolist()), tuple(w.tolist()),
                              float(decay))
     else:
-        idx = starts[:, None] + np.arange(ndft)[None, :]          # [nf, ndft]
-        segs = xw[:, :, idx]                                      # [C, 2, nf, ndft]
+        # hop windows as static slices (a fancy-index gather here lowers
+        # to a slow TPU gather; slices stay vector loads)
+        segs = jnp.stack([xw[:, :, int(s):int(s) + ndft]
+                          for s in starts], axis=2)               # [C, 2, nf, ndft]
         xr, xi = segs[:, 0], segs[:, 1]                           # [C, nf, ndft]
         wcj = jnp.asarray(wc)
         wsj = jnp.asarray(ws)

@@ -48,8 +48,9 @@ def _welch(x, nfft):
     C, _, T = x.shape
     hop = nfft // 2
     nseg = (T - nfft) // hop + 1
-    idx = (np.arange(nseg) * hop)[:, None] + np.arange(nfft)[None, :]
-    segs = x[:, :, idx]                                    # [C, 2, nseg, nfft]
+    # static slices, not a fancy-index gather (slow on TPU)
+    segs = jnp.stack([x[:, :, s * hop:s * hop + nfft]
+                      for s in range(nseg)], axis=2)       # [C, 2, nseg, nfft]
     if _pallas_psd_enabled():
         # fused window+DFT+|.|^2+fftshift kernel per segment
         from radiosonde_auto_rx_tpu.ops.pallas_fft import fft_abs2

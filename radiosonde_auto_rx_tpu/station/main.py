@@ -57,6 +57,11 @@ def parse_args(argv=None):
     ap.add_argument("--log-dir", default="./log/")
     ap.add_argument("--checkpoint", default=None, metavar="PATH",
                     help="resume task state from PATH and keep it updated")
+    ap.add_argument("--emulate", default=None, metavar="SONDE_LOG",
+                    help="replay a per-sonde CSV log through the exporters"
+                         " (no signal processing; reference emulation.py)")
+    ap.add_argument("--emulate-speed", type=float, default=0.0,
+                    help="0 = as fast as possible, 1 = real time")
     return ap.parse_args(argv)
 
 
@@ -306,6 +311,32 @@ def main(argv=None) -> int:
         return EXIT_CONFIG
     if config is None:
         return EXIT_CONFIG
+    if args.emulate:
+        from radiosonde_auto_rx_tpu.station.emulation import replay_log_file
+        from radiosonde_auto_rx_tpu.web.server import WebExporter, WebServer
+        config.setdefault("log_directory", args.log_dir)
+        wexp = WebExporter()
+        exporters = build_exporters(config, wexp)
+        web = None
+        if not args.no_web:
+            web = WebServer(web_exporter=wexp, config=config,
+                            host=config.get("web_host", "0.0.0.0"),
+                            port=int(config.get("web_port", 5000)))
+            web.start()
+            log.info("web server on port %d", web.port)
+        try:
+            n = replay_log_file(args.emulate, exporters,
+                                speed=args.emulate_speed)
+            log.info("replayed %d telemetry frames", n)
+        finally:
+            for e in exporters:
+                try:
+                    e.close()
+                except Exception:
+                    pass
+            if web is not None:
+                web.close()
+        return EXIT_OK
     if args.replay is None and config.get("sdr_type") == "WIDEBAND":
         # WIDEBAND replays a capture file; the hostname key doubles as its
         # path — require one that exists

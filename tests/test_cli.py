@@ -121,3 +121,26 @@ def test_web_server_endpoints(tmp_path):
         assert "version" in v
     finally:
         web.close()
+
+
+def test_emulate_mode(tmp_path):
+    """--emulate replays a per-sonde log through the exporter chain."""
+    from radiosonde_auto_rx_tpu.exporters.logfile import (
+        LOG_HEADER, telemetry_to_log_line)
+    lines = [LOG_HEADER]
+    for i in range(6):
+        lines.append(telemetry_to_log_line(dict(
+            datetime="2026-08-17T01:02:%02dZ" % i, id="E1239876", frame=i,
+            lat=10.0, lon=20.0 + i * 1e-4, alt=5000.0 + 10 * i, vel_v=5.0,
+            vel_h=10.0, heading=90.0, temp=-20.0, humidity=50.0,
+            pressure=-1, type="RS41", freq_float=402.5, snr=15.0,
+            f_error=0, sats=9, batt=2.9)))
+    src = tmp_path / "20260817-010203_E1239876_RS41_402.500_sonde.log"
+    src.write_text("".join(ln if ln.endswith("\n") else ln + "\n"
+                           for ln in lines))
+    logdir = tmp_path / "out"
+    rc = cli.main(["--emulate", str(src), "--no-web",
+                   "--log-dir", str(logdir)])
+    assert rc == cli.EXIT_OK
+    out = list(logdir.glob("*_sonde.log"))
+    assert out and "E1239876" in out[0].read_text()
