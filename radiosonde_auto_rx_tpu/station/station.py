@@ -155,6 +155,16 @@ class Station:
                 quantization_hz=self.fs_wide / self.n_chan,
                 never_scan=[f * 1e6 - self.center_freq
                             for f in self.config["never_scan"]])
+            # latest scan for the web UI (reference scan.py:47-54
+            # pushes freq/power/peaks to the browser)
+            self.scan_results = {
+                "timestamp": time.time(),
+                "freq": ((pfreqs + self.center_freq) / 1e6).round(4
+                                                                 ).tolist(),
+                "power": np.round(psd, 1).tolist(),
+                "peak_freq": [(p + self.center_freq) / 1e6 for p in peaks],
+                "noise_floor": round(nf, 1),
+            }
             chans = sorted({int(np.argmin(np.abs(self.freqs - p)))
                             for p in peaks})
             # always_scan frequencies join every detect pass
