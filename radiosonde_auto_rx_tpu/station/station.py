@@ -186,24 +186,25 @@ class Station:
         chans = self.scan(planes) if self.scan_enabled else []
         chans = [c for c in chans if c not in self.manual_tasks]
         ch = channelize(planes, self.n_chan, self.pfb_taps)
+        tasks = [(ci, name, None)
+                 for ci, name in self.manual_tasks.items()]
+        if chans:
+            detections = self.detector.detect(ch[np.array(chans)])
+            for ci, dets in zip(chans, detections):
+                if not dets:
+                    continue
+                det = dets[0]
+                self.stats["detections"] += 1
+                if det.name in CHAIN_TABLE or det.name in MODEL_NAME:
+                    tasks.append((ci, det.name, det))
+        # group same-type channels into one batched demod call — the
+        # channel batch IS the parallel axis, one device dispatch per type
         telemetry_out = []
-        # web-forced decoders first (reference /start_decoder)
-        for ci, name in list(self.manual_tasks.items()):
-            telemetry_out.extend(self.decode_channel(ch[ci], ci, name))
-        if not chans:
-            return telemetry_out
-
-        detections = self.detector.detect(ch[np.array(chans)])
-        for ci, dets in zip(chans, detections):
-            if not dets:
-                continue
-            det = dets[0]
-            self.stats["detections"] += 1
-            name = det.name
-            if name not in CHAIN_TABLE and name not in MODEL_NAME:
-                continue
-            telemetry_out.extend(
-                self.decode_channel(ch[ci], ci, name, det))
+        by_type = {}
+        for ci, name, det in tasks:
+            by_type.setdefault(name, []).append((ci, det))
+        for name, items in by_type.items():
+            telemetry_out.extend(self.decode_channels(ch, items, name))
         return telemetry_out
 
     # ------------------------------------------------------------------ #
@@ -227,31 +228,56 @@ class Station:
 
     def decode_channel(self, iq_ch, ci: int, name: str, det=None) -> list:
         """Demod + decode one channel known to carry type ``name``."""
+        return self.decode_channels(
+            jnp.asarray(iq_ch)[None], [(0, det)], name,
+            chan_map={0: ci})
+
+    def decode_channels(self, ch, items, name: str,
+                        chan_map=None) -> list:
+        """Batched demod + per-channel decode for one sonde type.
+
+        ch: [N, 2, T] channel planes; items: [(channel_index, det)].
+        One device dispatch demodulates every channel of this type."""
         chain = CHAIN_TABLE.get(name, dict(rs=4800, est=10000))
         fs = self.fs_ch
+        idx = [ci for ci, _ in items]
+        iq = ch[np.array(idx)] if chan_map is None else ch
         if "resample_to" in chain:
             from radiosonde_auto_rx_tpu.ops.resample import resample_planes
-            iq_ch = resample_planes(iq_ch, fs, chain["resample_to"])
+            iq = resample_planes(iq, fs, chain["resample_to"])
             fs = chain["resample_to"]
         if chain.get("afsk"):
             # FM-discriminate, then FSK-demod the Bell-202 audio tones
             from radiosonde_auto_rx_tpu.ops.fm import fm_discriminate
             from radiosonde_auto_rx_tpu.models.imet4 import \
                 afsk_demod_config
-            z = iq_ch[0] + 1j * iq_ch[1]
-            audio = fm_discriminate(z[None])[0]
-            planes = jnp.stack([audio, jnp.zeros_like(audio)])[None]
+            z = iq[:, 0] + 1j * iq[:, 1]
+            audio = fm_discriminate(z)                    # [K, T]
+            planes = jnp.stack([audio, jnp.zeros_like(audio)], axis=1)
             cfg = afsk_demod_config(fs)
-            _, bits, stats, _ = fsk_demod_stream(cfg, planes)
-            bits = 1 - np.asarray(bits)[0]   # sym 0 = 1200 Hz = bit 1
-            soft = None
+            _, bits_b, stats, _ = fsk_demod_stream(cfg, planes)
+            bits_b = 1 - np.asarray(bits_b)   # sym 0 = 1200 Hz = bit 1
+            soft_b = None
         else:
             cfg = _demod_cfg(fs, chain["rs"], chain.get("est", 10000),
                              chain.get("mask", 0))
-            soft, bits, stats, _ = fsk_demod_stream(cfg, iq_ch[None])
-            bits = np.asarray(bits)[0]
-            soft = np.asarray(soft)[0]
+            soft_b, bits_b, stats, _ = fsk_demod_stream(cfg, iq)
+            bits_b = np.asarray(bits_b)
+            soft_b = np.asarray(soft_b)
+        out = []
+        ebno = np.atleast_2d(np.asarray(stats["ebno_db"])) \
+            if "ebno_db" in stats else None
+        for j, (ci, det) in enumerate(items):
+            real_ci = chan_map[ci] if chan_map else ci
+            out.extend(self._decode_frames(
+                real_ci, name, bits_b[j],
+                None if soft_b is None else soft_b[j],
+                None if ebno is None else float(ebno[j].max()), det))
+        return out
 
+    def _decode_frames(self, ci, name, bits, soft, snr_db, det) -> list:
+        """Host frame plane for one channel: decoder state, frame decode,
+        enrich/filter/export."""
         model_name = MODEL_NAME.get(name, name)
         state = self.active.get(ci)
         # decoder is None after checkpoint resume: rebuild (decoders are
@@ -277,8 +303,6 @@ class Station:
         decoder = state["decoder"]
 
         freq_hz = self.center_freq + self.freqs[ci]
-        snr_db = float(np.asarray(stats["ebno_db"]).max()) \
-            if "ebno_db" in stats else None
         raw_telems = decoder.decode_bits(
             bits, None if soft is None else -soft)
         out = []
