@@ -425,20 +425,15 @@ def fsk_num_blocks(cfg: FSKConfig, t_samples: int) -> int:
 def _fsk_demod_scan(cfg: FSKConfig, x: jnp.ndarray, state: FSKState,
                     n_blocks: int, probe: bool = False):
     """x: [C, 2, T] float32 IQ planes."""
-    # per-channel window pointers always advance by n or n +- ts//2, so
-    # every start is a multiple of gcd(n, ts//2): gather whole h-sample
-    # blocks (h-fold fewer gather elements than per-sample); h must also
-    # divide nmem so the window reshapes cleanly
-    h = math.gcd(math.gcd(cfg.n, max(1, cfg.ts // 2)), cfg.nmem)
-    C, _, T = x.shape
-    xh = x[:, :, : T // h * h].reshape(C, 2, T // h, h)
-
+    # (An h-block-granular gather — starts are always gcd(n, ts//2)-
+    # aligned — measured 2% faster at T=96k but 14% slower at the bench
+    # shapes; the plain per-channel slice is kept.  The window fetch is
+    # ~20% of block time and still an open optimization.)
     def body(st, _):
         start = st["ptr"] - cfg.nmem
         win = jax.vmap(
-            lambda xc, s: jax.lax.dynamic_slice(
-                xc, (0, s, 0), (2, cfg.nmem // h, h))
-        )(xh, start // h).reshape(C, 2, cfg.nmem)
+            lambda xc, s: jax.lax.dynamic_slice(xc, (0, s), (2, cfg.nmem))
+        )(x, start)
         out, new_partial = fsk_demod_block(cfg, win, st, probe=probe)
         new_state = FSKState(
             sf=new_partial["sf"],
