@@ -7,8 +7,6 @@ plain TCP login to an APRS-IS igate (:415-560) with a synchronized upload
 timer (:642).
 """
 
-import queue
-import random
 import socket
 import threading
 import time

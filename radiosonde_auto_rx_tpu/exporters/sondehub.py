@@ -8,7 +8,6 @@ periodic station position upload (:504).
 """
 
 import datetime
-import glob
 import gzip
 import json
 import queue

@@ -13,11 +13,9 @@ the same recovery the reference performs after any stream restart (decoders
 are stateless across restarts by design, reference decode.py teardown path).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 try:  # jax >= 0.4.35
     from jax import shard_map as _shard_map_mod  # noqa: F401

@@ -7,7 +7,6 @@ source here is a wideband IQ stream into the channelizer).
 """
 
 import configparser
-import copy
 
 
 def default_config() -> dict:

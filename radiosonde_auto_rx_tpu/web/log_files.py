@@ -14,7 +14,6 @@ import zipfile
 
 from dateutil.parser import parse
 
-from radiosonde_auto_rx_tpu.utils.geometry import position_info
 
 
 def log_filename_to_stats(filename: str) -> dict | None:
