@@ -52,7 +52,10 @@ CHAIN_TABLE = {
     # RS92's Manchester stream has a strong 2.4 kHz line comb; the mask
     # (tone-pair) estimator is required to lock the true FSK tones
     "RS92": dict(rs=4800, est=5000, mask=4800),
-    "DFM": dict(rs=2400, est=5000),        # ref: 2500 Bd at 50 kHz
+    # DFM: 2500 Bd raw Manchester (reference decode.py:1039) — resample
+    # the 48 kHz channel to 50 kHz so Ts = 20 exactly (2400 Bd on 48 kHz
+    # would be 4% off, far beyond the demod's clock tracking)
+    "DFM": dict(rs=2500, est=5000, resample_to=50000),
     # M10 runs at 9615.4 Bd: resample the 48 kHz channel to 48.08 kHz so
     # Ts = 5 exactly (reference uses tsrc for the same ratio,
     # auto_rx/test/README.md:13-22).  M20 is 9600 Bd (dft_detect.c:70-75)
@@ -71,7 +74,8 @@ CHAIN_TABLE = {
     "IMET1RS": dict(afsk=True),
     "IMET1AB": dict(afsk=True),
     "WXR301": dict(rs=4800, est=10000),
-    "WXRPN9": dict(rs=4800, est=10000),
+    # PN9 variant runs 5 kBd (weathex301d --pn9): 50 kHz -> Ts = 10
+    "WXRPN9": dict(rs=5000, est=10000, resample_to=50000),
     "RD94RD41": dict(rs=9600, est=20000),
     # LMS6-1680/MK2A: 9616 Bd wide-deviation 2FSK on a 240 kHz channel
     # (reference decode.py:661-699: 240 kHz IQ, mk2a1680mod --decFM; the

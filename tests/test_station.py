@@ -297,3 +297,29 @@ def test_station_only_scan_whitelist():
     wide = (rng.standard_normal((2, 240_000)) * 0.01).astype(np.float32)
     chans = st.scan(wide)
     assert chans == [3]
+
+
+def test_station_dfm_true_baud_channel():
+    """DFM at its true 2500 Bd through a 48 kHz station channel (the
+    chain resamples to 50 kHz; 2400 Bd on 48 kHz would be 4% off)."""
+    import jax.numpy as jnp
+    from radiosonde_auto_rx_tpu.demod.modulate import gfsk_mod, add_awgn
+    from radiosonde_auto_rx_tpu.models.dfm import encode_flight_bits
+    from radiosonde_auto_rx_tpu.ops.resample import resample_planes
+    raw = encode_flight_bits(sn=21055555, lat=50.1, lon=8.68, n_cycles=4)
+    idle = np.tile(np.array([1, 0], np.uint8), 300)
+    tx = np.concatenate([idle, raw, idle])
+    # true rate: generate at 50 kHz, view through the 48 kHz channel
+    iq = add_awgn(gfsk_mod(tx, 50000, 2500, 2, 0.0, 5000), 15.0,
+                  50000, 2500)
+    ch48 = resample_planes(np.stack([iq.real, iq.imag]).astype(np.float32),
+                           50000, 48000)
+    col = _CollectExporter()
+    st = Station({"capture_rate": 2_400_000, "num_channels": 50,
+                  "sonde_time_threshold": 1e9},
+                 exporters=[col], center_freq_hz=402.5e6)
+    telems = st.decode_channel(jnp.asarray(np.asarray(ch48)), 9, "DFM")
+    assert telems, "no DFM telemetry through the station chain"
+    t = telems[-1]
+    assert t["id"] == "DFM-21055555"
+    assert abs(t["lat"] - 50.1) < 1e-4
