@@ -92,11 +92,11 @@ def crc32ok(frame):
     poly0, poly1 = 0x0EDB, 0x8260
     n, b = 104, 0
     c0, c1 = 0x48EB, 0x1ACA
+    if len(frame) < FRAME_LEN_BYTES:
+        return False
     data_c0 = (int(frame[100]) << 8) | int(frame[101])
     data_c1 = (int(frame[106]) << 8) | int(frame[107])
     crc0 = crc1 = 0
-    if len(frame) < FRAME_LEN_BYTES:
-        return False
     while n >= 0:
         if n < 100 or (101 < n < 106):
             if (int(frame[n]) >> b) & 1:

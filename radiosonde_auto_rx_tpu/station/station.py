@@ -73,10 +73,15 @@ CHAIN_TABLE = {
     "IMET4": dict(afsk=True),
     "IMET1RS": dict(afsk=True),
     "IMET1AB": dict(afsk=True),
-    "WXR301": dict(rs=4800, est=10000),
-    # PN9 variant runs 5 kBd (weathex301d --pn9): 50 kHz -> Ts = 10
-    "WXRPN9": dict(rs=5000, est=10000, resample_to=50000),
-    "RD94RD41": dict(rs=9600, est=20000),
+    # Weathex: 50 kHz tone spacing on a 96 kHz channel (reference
+    # decode.py:1388-1458: 96 kHz IQ, mask 50000) — needs a wideband
+    # station (fs_ch = 96 kHz, e.g. 25 channels of 2.4 MHz); wide_fs
+    # documents the required channel rate
+    "WXR301": dict(rs=4800, est=55000, mask=50000, wide_fs=96000),
+    # PN9 variant runs 5 kBd: resample the 96 kHz channel to 100 kHz
+    "WXRPN9": dict(rs=5000, est=55000, mask=50000, wide_fs=96000,
+                   resample_to=100000),
+    "RD94RD41": dict(rs=4800, est=20000),   # ref decode.py:995
     # LMS6-1680/MK2A: 9616 Bd wide-deviation 2FSK on a 240 kHz channel
     # (reference decode.py:661-699: 240 kHz IQ, mk2a1680mod --decFM; the
     # fsk_demod chain used mask=100000).  Needs a wideband station
@@ -244,6 +249,11 @@ class Station:
         One device dispatch demodulates every channel of this type."""
         chain = CHAIN_TABLE.get(name, dict(rs=4800, est=10000))
         fs = self.fs_ch
+        if chain.get("wide_fs", 0) > fs:
+            log.warning("%s needs a %d Hz channel (station has %d Hz) — "
+                        "configure fewer, wider channels to decode it",
+                        name, chain["wide_fs"], fs)
+            return []
         idx = [ci for ci, _ in items]
         iq = ch[np.array(idx)] if chan_map is None else ch
         if "resample_to" in chain:
