@@ -85,7 +85,37 @@ def _m10_case(n_frames, rng):
         lambda b, s: dec.decode_bits(b, None if s is None else -s), 1.0
 
 
-CASES = {"RS41": _rs41_case, "DFM": _dfm_case, "M10": _m10_case}
+def _lms6_case(n_frames, rng):
+    from radiosonde_auto_rx_tpu.models.lms6 import (LMS6Decoder,
+                                                    blocks_to_raw_bits,
+                                                    encode_block,
+                                                    encode_frame)
+    frames = [encode_frame(frnr=100 + i, tow_ms=210600500 + i * 1000,
+                           fill_seed=i) for i in range(n_frames)]
+    bits = blocks_to_raw_bits([encode_block(f) for f in frames])
+    cfg = FSKConfig(fs=48000, rs=4800, m=2, p=5, nsym=300,
+                    est_min=-10000, est_max=10000)
+    dec = LMS6Decoder()
+    return bits, 48000, 4800, 4800, cfg, \
+        lambda b, s: dec.decode_bits(b, None if s is None else -s), 1.0
+
+
+def _meisei_case(n_frames, rng):
+    from radiosonde_auto_rx_tpu.models.meisei import (
+        MeiseiDecoder, encode_subframes_ims100, frames_to_raw_bits)
+    frames = [encode_subframes_ims100(16 + i, sn=2304123.0, lat=36.1,
+                                      lon=140.08, alt=9000.0)
+              for i in range(n_frames)]
+    bits = frames_to_raw_bits(frames)
+    cfg = FSKConfig(fs=48000, rs=2400, m=2, p=5, nsym=300,
+                    est_min=-10000, est_max=10000)
+    dec = MeiseiDecoder(ref_year=2023)
+    return bits, 48000, 2400, 3600, cfg, \
+        lambda b, s: dec.decode_bits(b), 1.0
+
+
+CASES = {"RS41": _rs41_case, "DFM": _dfm_case, "M10": _m10_case,
+         "LMS6": _lms6_case, "MEISEI": _meisei_case}
 
 
 def run_point(sonde_type: str, ebno_db: float, n_frames: int = 10,
@@ -96,7 +126,10 @@ def run_point(sonde_type: str, ebno_db: float, n_frames: int = 10,
     tx_bits, fs, rs, spacing, cfg, decode, bt = CASES[sonde_type](
         n_frames, rng)
     idle = np.tile(np.array([1, 0], np.uint8), 300)
-    tx = np.concatenate([idle, tx_bits, idle])
+    # generous tail so the demod's clipped nmem+block tail never cuts
+    # the last frame
+    tail = np.tile(np.array([1, 0], np.uint8), 700)
+    tx = np.concatenate([idle, tx_bits, tail])
     iq = add_awgn(gfsk_mod(tx, fs, rs, 2, 0.0, spacing, bt=bt),
                   ebno_db, fs, rs, rng=rng)
     t0 = time.perf_counter()

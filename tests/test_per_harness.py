@@ -33,3 +33,11 @@ def test_sweep_csv_cli(tmp_path):
     assert lines[0].startswith("type,ebno_db")
     assert len(lines) == 3          # header + 2 points
     assert lines[1].startswith("RS41,2.0,3,")
+
+
+def test_lms6_per_cliff():
+    """Viterbi+RS chain: decodes at 16 dB, dead in deep noise."""
+    hi = per_harness.run_point("LMS6", 16.0, n_frames=4)
+    lo = per_harness.run_point("LMS6", 0.0, n_frames=4)
+    assert hi["frames_rx"] >= 3, hi
+    assert lo["frames_rx"] == 0, lo
