@@ -192,9 +192,13 @@ def run_station(args, config) -> int:
                       center_freq_hz=args.center * 1e6)
     web = None
     if not args.no_web:
+        from radiosonde_auto_rx_tpu.web.server import WebHandler
+        wh = WebHandler()
+        logging.getLogger().addHandler(wh)
         web = WebServer(station=station, web_exporter=web_exporter,
                         config=config, host=config.get("web_host", "0.0.0.0"),
-                        port=int(config.get("web_port", 5000)))
+                        port=int(config.get("web_port", 5000)),
+                        log_handler=wh)
         web.start()
         log.info("web server on port %d", web.port)
 

@@ -6,11 +6,34 @@ enrichment (reference auto_rx/autorx/web.py WebExporter :739-880);
 ThreadingHTTPServer.
 """
 
+import collections
 import json
+import logging
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import urlparse
+
+
+class WebHandler(logging.Handler):
+    """Ring-buffer log handler serving recent records to the web UI
+    (reference web.py WebHandler :718-736 bridges log records to the
+    browser via SocketIO; here they are polled from /get_log_lines)."""
+
+    def __init__(self, max_lines: int = 500):
+        super().__init__()
+        self.lines = collections.deque(maxlen=max_lines)
+        self.setFormatter(logging.Formatter(
+            "%(asctime)s %(levelname)s %(name)s: %(message)s"))
+
+    def emit(self, record):
+        try:
+            self.lines.append(self.format(record))
+        except Exception:
+            self.handleError(record)
+
+    def tail(self, n: int = 100):
+        return list(self.lines)[-n:]
 
 from radiosonde_auto_rx_tpu.utils.geometry import GenericTrack
 from radiosonde_auto_rx_tpu.utils.serial import short_type_lookup
@@ -107,10 +130,11 @@ class WebServer:
     """Threaded status server over a Station + WebExporter."""
 
     def __init__(self, station=None, web_exporter=None, config=None,
-                 host="127.0.0.1", port=0):
+                 host="127.0.0.1", port=0, log_handler=None):
         self.station = station
         self.web_exporter = web_exporter or WebExporter()
         self.config = config or {}
+        self.log_handler = log_handler
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -152,6 +176,11 @@ class WebServer:
                 elif path in ("/rs.kml", "/rs_feed.kml"):
                     self._send(telemetry_to_kml(outer.web_exporter.archive()),
                                "application/vnd.google-earth.kml+xml")
+                elif path == "/get_log_lines":
+                    n = int(self._qs().get("n", ["100"])[0])
+                    lines = outer.log_handler.tail(n) \
+                        if outer.log_handler else []
+                    self._send(json.dumps({"log_lines": lines}))
                 elif path == "/get_log_detail":
                     self._log_route(lambda f: json.dumps(
                         _read_log(f, int(self._qs().get("decimation",

@@ -261,3 +261,28 @@ def test_control_requires_password_set(tmp_path):
         assert code == 403
     finally:
         web.close()
+
+
+def test_log_lines_route(tmp_path):
+    import json
+    import logging
+    from radiosonde_auto_rx_tpu.web.server import (WebExporter, WebHandler,
+                                                   WebServer)
+    wh = WebHandler(max_lines=10)
+    lg = logging.getLogger("weblinetest")
+    lg.addHandler(wh)
+    lg.setLevel(logging.INFO)
+    for i in range(15):
+        lg.info("line %d", i)
+    web = WebServer(web_exporter=WebExporter(),
+                    config={"log_directory": str(tmp_path)},
+                    host="127.0.0.1", port=0, log_handler=wh)
+    web.start()
+    try:
+        code, body = _get(web.port, "/get_log_lines?n=5")
+        assert code == 200
+        lines = json.loads(body)["log_lines"]
+        assert len(lines) == 5 and "line 14" in lines[-1]
+    finally:
+        web.close()
+        lg.removeHandler(wh)
