@@ -176,6 +176,8 @@ class WebServer:
                 elif path in ("/rs.kml", "/rs_feed.kml"):
                     self._send(telemetry_to_kml(outer.web_exporter.archive()),
                                "application/vnd.google-earth.kml+xml")
+                elif path == "/get_station_stats":
+                    self._send(json.dumps(outer.station_stats()))
                 elif path == "/get_log_lines":
                     n = int(self._qs().get("n", ["100"])[0])
                     lines = outer.log_handler.tail(n) \
@@ -273,6 +275,7 @@ class WebServer:
         self._server = ThreadingHTTPServer((host, port), Handler)
         self.port = self._server.server_address[1]
         self._thread = None
+        self._started = time.time()
 
     def _log_dir(self):
         return self.config.get("log_directory", "./log/")
@@ -291,11 +294,25 @@ class WebServer:
     def task_list(self):
         if self.station is None:
             return {}
-        return {str(ci): dict(type=st["type"],
-                              freq="%.3f MHz" % ((self.station.center_freq
-                                                  + self.station.freqs[ci])
-                                                 / 1e6))
-                for ci, st in self.station.active.items()}
+        tasks = {str(ci): dict(type=st["type"],
+                               freq="%.3f MHz" % ((self.station.center_freq
+                                                   + self.station.freqs[ci])
+                                                  / 1e6))
+                 for ci, st in self.station.active.items()}
+        tasks["scanner"] = "Scanning" if getattr(
+            self.station, "scan_enabled", True) else "Stopped"
+        return tasks
+
+    def station_stats(self):
+        from radiosonde_auto_rx_tpu import __version__
+        out = {"version": __version__, "uptime_s": round(
+            time.time() - self._started, 1)}
+        if self.station is not None:
+            out.update(self.station.stats)
+            out["active_decoders"] = len(self.station.active)
+            out["temporary_blocks"] = len(self.station.temporary_blocks)
+            out["scan_enabled"] = bool(self.station.scan_enabled)
+        return out
 
     def scan_data(self):
         if self.station is None:

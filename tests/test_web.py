@@ -286,3 +286,21 @@ def test_log_lines_route(tmp_path):
     finally:
         web.close()
         lg.removeHandler(wh)
+
+
+def test_station_stats_route(tmp_path):
+    import json
+    st = _StubStation()
+    st.stats = {"frames_ok": 7, "detections": 2}
+    st.temporary_blocks = {}
+    web = _spin_server(tmp_path, station=st)
+    try:
+        code, body = _get(web.port, "/get_station_stats")
+        assert code == 200
+        d = json.loads(body)
+        assert d["frames_ok"] == 7 and d["scan_enabled"] is True
+        assert "version" in d and d["uptime_s"] >= 0
+        code, body = _get(web.port, "/get_task_list")
+        assert json.loads(body)["scanner"] == "Scanning"
+    finally:
+        web.close()
