@@ -270,6 +270,17 @@ def run_station(args, config) -> int:
             if retries > max_retries:
                 log.critical("SDR source died %d times — giving up",
                              retries)
+                # e-mail on SDR death (reference clean_task_list emails
+                # when an SDR fails, auto_rx.py:422-537)
+                for e in exporters:
+                    if hasattr(e, "send_notification_email"):
+                        try:
+                            e.send_notification_email(
+                                "SDR source failed %d times; station "
+                                "exiting with code %d" % (retries,
+                                                          EXIT_SOURCE))
+                        except Exception:
+                            log.exception("failure e-mail failed")
                 code = EXIT_SOURCE
                 break
             log.warning("SDR source ended unexpectedly (%s blocks); "
