@@ -323,3 +323,37 @@ def test_station_dfm_true_baud_channel():
     t = telems[-1]
     assert t["id"] == "DFM-21055555"
     assert abs(t["lat"] - 50.1) < 1e-4
+
+
+def test_encrypted_sonde_drops_and_blocks():
+    """close_on_encrypted: drop the channel and add a temporary block
+    (reference decode.py:1697 + auto_rx.py temp block handling)."""
+    st = Station({"capture_rate": 2_400_000, "num_channels": 50},
+                 exporters=[], center_freq_hz=402.5e6)
+
+    class FakeDecoder:
+        def decode_bits(self, bits, soft=None):
+            import datetime
+            now = datetime.datetime.now(datetime.timezone.utc)
+            return [dict(type="RS41", subtype="RS41-SGM", id="S0000001",
+                         frame=1, datetime=now.strftime(
+                             "%Y-%m-%dT%H:%M:%SZ"),
+                         lat=0.0, lon=0.0, alt=1000.0, encrypted=True)]
+
+    st.active[4] = dict(type="RS41", decoder=FakeDecoder(), last_ok=0.0)
+    out = st._decode_frames(4, "RS41", np.zeros(100, np.uint8), None,
+                            10.0, None)
+    assert out == []
+    assert 4 not in st.active, "channel not dropped"
+    assert st.temporary_blocks, "no temporary block added"
+    freq = st.center_freq + st.freqs[4]
+    assert st._blocked(freq)
+
+
+def test_clean_task_list_reaps_idle():
+    st = Station({"capture_rate": 2_400_000, "num_channels": 50,
+                  "rx_timeout": 0.01}, exporters=[],
+                 center_freq_hz=402.5e6)
+    st.active[3] = dict(type="RS41", decoder=object(), last_ok=0.0)
+    st.clean_task_list()
+    assert 3 not in st.active
