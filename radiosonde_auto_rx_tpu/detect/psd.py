@@ -48,9 +48,25 @@ def _welch(x, nfft):
     C, _, T = x.shape
     hop = nfft // 2
     nseg = (T - nfft) // hop + 1
-    # static slices, not a fancy-index gather (slow on TPU)
-    segs = jnp.stack([x[:, :, s * hop:s * hop + nfft]
-                      for s in range(nseg)], axis=2)       # [C, 2, nseg, nfft]
+    # hop = nfft/2, so the segment set is exactly two interleaved
+    # non-overlapping tilings -> two reshapes (a per-segment slice stack
+    # unrolls to thousands of XLA ops at wideband T; a fancy-index
+    # gather is slow on TPU)
+    n_even = (nseg + 1) // 2
+    n_odd = nseg // 2
+    even = x[:, :, :n_even * nfft].reshape(C, 2, n_even, nfft)
+    if n_odd:
+        odd = x[:, :, hop:hop + n_odd * nfft].reshape(C, 2, n_odd, nfft)
+        # interleave even/odd back into time order
+        m = min(n_even, n_odd)
+        inter = jnp.stack([even[:, :, :m], odd[:, :, :m]],
+                          axis=3).reshape(C, 2, 2 * m, nfft)
+        rest = even[:, :, m:] if n_even > m else odd[:, :, m:]
+        segs = jnp.concatenate([inter, rest], axis=2)
+    else:
+        segs = even
+    # (mean over segments is order-invariant, but keep time order for
+    # any consumer that inspects per-segment spectra)
     if _pallas_psd_enabled():
         # fused window+DFT+|.|^2+fftshift kernel per segment
         from radiosonde_auto_rx_tpu.ops.pallas_fft import fft_abs2

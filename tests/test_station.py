@@ -357,3 +357,32 @@ def test_clean_task_list_reaps_idle():
     st.active[3] = dict(type="RS41", decoder=object(), last_ok=0.0)
     st.clean_task_list()
     assert 3 not in st.active
+
+
+def test_station_dfm_full_cycle():
+    """Wideband DFM at true 2500 Bd: PSD scan -> detect -> resampled
+    chain -> telemetry (completes the detect->chain link for DFM)."""
+    from radiosonde_auto_rx_tpu.demod.modulate import gfsk_mod
+    from radiosonde_auto_rx_tpu.models.dfm import encode_flight_bits
+    rng = np.random.default_rng(8)
+    raw = encode_flight_bits(sn=21031415, lat=47.37, lon=8.54,
+                             n_cycles=3)
+    idle = np.tile(np.array([1, 0], np.uint8), 150)
+    tail = np.tile(np.array([1, 0], np.uint8), 500)
+    tx = np.concatenate([idle, raw, tail])
+    fs = 2_400_000
+    off = 48000 * 11
+    wide = gfsk_mod(tx, fs, 2500, 2, off, 5000, bt=1.0)
+    wide += (rng.standard_normal(len(wide)) + 1j *
+             rng.standard_normal(len(wide))).astype(np.complex64) * 0.002
+    col = _CollectExporter()
+    st = Station({"capture_rate": fs, "num_channels": 50,
+                  "sonde_time_threshold": 1e9,
+                  "enable_realtime_filter": False},
+                 exporters=[col], center_freq_hz=402.5e6)
+    telems = st.process_capture(wide.astype(np.complex64))
+    assert telems, "no DFM telemetry through the full station cycle"
+    t = telems[-1]
+    assert t["id"] == "DFM-21031415"
+    assert abs(t["lat"] - 47.37) < 1e-4
+    assert st.active and list(st.active.values())[0]["type"] == "DFM"
