@@ -154,3 +154,31 @@ def test_wxr301_wideband_chain():
     telems = st.decode_channel(jnp.asarray(planes), 3, "WXR301")
     assert telems, "no Weathex telemetry through the wideband chain"
     assert abs(telems[-1][fld] - want) < 1e-3
+
+
+def test_rs92_station_chain_with_ephemeris():
+    """RS92 through the station chain: the config-injected ephemeris
+    feeds the raw-pseudorange Bancroft navigation
+    (reference decode.py:423-446 supplies rs92_ephemeris)."""
+    from radiosonde_auto_rx_tpu.models.rs92 import (encode_flight_bits,
+                                                    make_test_ephemeris)
+    import jax.numpy as jnp
+    ephs = make_test_ephemeris()
+    raw = encode_flight_bits(n_frames=2, ephs=ephs, lat=-34.95,
+                             lon=138.52, alt=12000.0)
+    idle = np.tile(np.array([1, 0], np.uint8), 200)
+    tail = np.tile(np.array([1, 0], np.uint8), 700)
+    tx = np.concatenate([idle, np.asarray(raw, np.uint8), tail])
+    iq = add_awgn(gfsk_mod(tx, 48000, 4800, 2, 0.0, 4800, bt=0.5),
+                  16.0, 48000, 4800)
+    planes = np.stack([iq.real, iq.imag]).astype(np.float32)
+    st = Station({"capture_rate": 2_400_000, "num_channels": 50,
+                  "sonde_time_threshold": 1e9,
+                  "enable_realtime_filter": False,
+                  "rs92_ephemeris": ephs},
+                 exporters=[_Col()], center_freq_hz=402.5e6)
+    telems = st.decode_channel(jnp.asarray(planes), 7, "RS92")
+    assert telems, "no RS92 telemetry through the station chain"
+    t = telems[-1]
+    assert t["id"] == "R1234567"
+    assert abs(t["lat"] + 34.95) < 5e-4
