@@ -448,6 +448,59 @@ def _fsk_demod_scan(cfg: FSKConfig, x: jnp.ndarray, state: FSKState,
     return state, outs
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_blocks", "probe", "slack_ts"))
+def _fsk_demod_scan_buffered(cfg: FSKConfig, x: jnp.ndarray,
+                             state: FSKState, n_blocks: int,
+                             probe: bool = False, slack_ts: int = 8):
+    """Gather-free scan variant: the window rides in the carry.
+
+    Instead of a per-channel dynamic slice into the whole [C, 2, T]
+    stream (a TPU gather over a large HBM operand), the carry holds a
+    [C, 2, nmem + slack] rolling buffer advanced by a SHARED ``n``
+    samples per block; each channel's ±ts/2 clock adjustments move only
+    its ``off`` pointer within the small buffer, and the window is
+    selected from (2*slack_ts+1) static slices by mask.  Numerically
+    identical to ``_fsk_demod_scan`` on ``x[:, :, slack//2:]`` while the
+    accumulated clock drift stays inside ±slack/2 (clamped with a
+    re-lock glitch beyond — >800 ppm·s for the default slack).
+    Opt-in via ``fsk_demod_stream(..., buffered=True)``.
+    """
+    half_ts = cfg.ts // 2
+    slack = slack_ts * cfg.ts
+    w = cfg.nmem + slack
+    C = x.shape[0]
+    buf0 = x[:, :, :w]
+    off0 = jnp.full((C,), slack // 2, jnp.int32)
+
+    def body(carry, b):
+        buf, off, st = carry
+        win = jnp.zeros((C, 2, cfg.nmem), jnp.float32)
+        for k in range(slack // half_ts + 1):
+            o = k * half_ts
+            win = jnp.where((off == o)[:, None, None],
+                            buf[:, :, o:o + cfg.nmem], win)
+        out, newp = fsk_demod_block(cfg, win, st, probe=probe)
+        chunk = jax.lax.dynamic_slice(x, (0, 0, w + b * cfg.n),
+                                      (C, 2, cfg.n))
+        buf = jnp.concatenate([buf[:, :, cfg.n:], chunk], axis=2)
+        off = jnp.clip(off + (out["nin_next"] - cfg.n), 0, slack)
+        new_state = FSKState(sf=newp["sf"], timing=newp["timing"],
+                             ppm=newp["ppm"],
+                             ptr=st["ptr"] + out["nin_next"],
+                             nin=out["nin_next"])
+        return (buf, off, new_state), out
+
+    (buf, off, state), outs = jax.lax.scan(
+        body, (buf0, off0, state), jnp.arange(n_blocks))
+    return state, outs
+
+
+def fsk_num_blocks_buffered(cfg: FSKConfig, t_samples: int,
+                            slack_ts: int = 8) -> int:
+    w = cfg.nmem + slack_ts * cfg.ts
+    return max(0, (t_samples - w) // cfg.n)
+
+
 def fsk_demod_stream(cfg: FSKConfig, x: jnp.ndarray,
                      state: FSKState | None = None, probe: bool = False):
     """Demodulate IQ: complex64 [C, T] / [T], or float32 planes [C, 2, T].
