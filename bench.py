@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from radiosonde_auto_rx_tpu.demod.fsk import (
-    FSKConfig, fsk_init_state, fsk_num_blocks, _fsk_demod_scan)
+    FSKConfig, fsk_init_state, fsk_num_blocks_buffered,
+    _fsk_demod_scan_buffered)
 
 BASELINE_MSPS = 0.24  # reference: ~5 real-time 48 kHz channels per device
 
@@ -49,11 +50,11 @@ def main():
         cfg, channels, t_samples, jax.random.key(0))
     x.block_until_ready()
 
-    nb = fsk_num_blocks(cfg, t_samples)
+    nb = fsk_num_blocks_buffered(cfg, t_samples)
     state0 = fsk_init_state(cfg, channels)
 
     def run(x, state):
-        state, outs = _fsk_demod_scan(cfg, x, state, nb)
+        state, outs = _fsk_demod_scan_buffered(cfg, x, state, nb)
         # reduce on device so timing includes no D2H of the full output
         return (outs["soft"].sum(), outs["bits"].astype(jnp.int32).sum(),
                 state)

@@ -460,7 +460,7 @@ def _fsk_demod_scan_buffered(cfg: FSKConfig, x: jnp.ndarray,
     samples per block; each channel's ±ts/2 clock adjustments move only
     its ``off`` pointer within the small buffer, and the window is
     selected from (2*slack_ts+1) static slices by mask.  Numerically
-    identical to ``_fsk_demod_scan`` on ``x[:, :, slack//2:]`` while the
+    identical to ``_fsk_demod_scan`` on the off0-shifted stream while the
     accumulated clock drift stays inside ±slack/2 (clamped with a
     re-lock glitch beyond — >800 ppm·s for the default slack).
     Opt-in via ``fsk_demod_stream(..., buffered=True)``.
@@ -470,12 +470,16 @@ def _fsk_demod_scan_buffered(cfg: FSKConfig, x: jnp.ndarray,
     w = cfg.nmem + slack
     C = x.shape[0]
     buf0 = x[:, :, :w]
-    off0 = jnp.full((C,), slack // 2, jnp.int32)
+    # every offset must sit on the +-ts//2 adjustment grid (ts may be
+    # odd, so slack//2 itself need not be)
+    n_steps = slack // half_ts
+    off_max = n_steps * half_ts
+    off0 = jnp.full((C,), (n_steps // 2) * half_ts, jnp.int32)
 
     def body(carry, b):
         buf, off, st = carry
         win = jnp.zeros((C, 2, cfg.nmem), jnp.float32)
-        for k in range(slack // half_ts + 1):
+        for k in range(n_steps + 1):
             o = k * half_ts
             win = jnp.where((off == o)[:, None, None],
                             buf[:, :, o:o + cfg.nmem], win)
@@ -483,7 +487,7 @@ def _fsk_demod_scan_buffered(cfg: FSKConfig, x: jnp.ndarray,
         chunk = jax.lax.dynamic_slice(x, (0, 0, w + b * cfg.n),
                                       (C, 2, cfg.n))
         buf = jnp.concatenate([buf[:, :, cfg.n:], chunk], axis=2)
-        off = jnp.clip(off + (out["nin_next"] - cfg.n), 0, slack)
+        off = jnp.clip(off + (out["nin_next"] - cfg.n), 0, off_max)
         new_state = FSKState(sf=newp["sf"], timing=newp["timing"],
                              ppm=newp["ppm"],
                              ptr=st["ptr"] + out["nin_next"],
@@ -502,25 +506,32 @@ def fsk_num_blocks_buffered(cfg: FSKConfig, t_samples: int,
 
 
 def fsk_demod_stream(cfg: FSKConfig, x: jnp.ndarray,
-                     state: FSKState | None = None, probe: bool = False):
+                     state: FSKState | None = None, probe: bool = False,
+                     buffered: bool = False):
     """Demodulate IQ: complex64 [C, T] / [T], or float32 planes [C, 2, T].
 
     Returns (soft [C, total_bits], bits [C, total_bits], stats dict, state).
     Stats arrays are [C, n_blocks] (f_est is [C, n_blocks, M]).  With
     ``probe=True`` stats also carries the internal trajectories ``sf``
     [C, nb, ndft], ``timing`` [C, nb] and ``tmag`` [C, nb, M, nsym]
-    (see utils.probe — the modem_probe analogue).
+    (see utils.probe — the modem_probe analogue).  ``buffered=True``
+    selects the gather-free rolling-buffer scan (+19% on a v5e; output
+    starts slack/2 samples later — frame decoders don't care).
     """
     squeeze = jnp.iscomplexobj(x) and x.ndim == 1
     x = iq_planes(x)
     C, _, T = x.shape
     if state is None:
         state = fsk_init_state(cfg, C)
-    nb = fsk_num_blocks(cfg, T)
+    nb = fsk_num_blocks_buffered(cfg, T) if buffered \
+        else fsk_num_blocks(cfg, T)
     if nb == 0:
         empty = jnp.zeros((C, 0), jnp.float32)
         return empty, empty.astype(jnp.uint8), {}, state
-    state, outs = _fsk_demod_scan(cfg, x, state, nb, probe)
+    if buffered:
+        state, outs = _fsk_demod_scan_buffered(cfg, x, state, nb, probe)
+    else:
+        state, outs = _fsk_demod_scan(cfg, x, state, nb, probe)
     # outs.* are [n_blocks, C, ...] -> concat along time
     soft = jnp.transpose(outs["soft"], (1, 0, 2)).reshape(C, -1)
     bits = jnp.transpose(outs["bits"], (1, 0, 2)).reshape(C, -1)

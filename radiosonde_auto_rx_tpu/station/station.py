@@ -275,7 +275,8 @@ class Station:
         else:
             cfg = _demod_cfg(fs, chain["rs"], chain.get("est", 10000),
                              chain.get("mask", 0))
-            soft_b, bits_b, stats, _ = fsk_demod_stream(cfg, iq)
+            soft_b, bits_b, stats, _ = fsk_demod_stream(cfg, iq,
+                                                        buffered=True)
             bits_b = np.asarray(bits_b)
             soft_b = np.asarray(soft_b)
         out = []

@@ -35,7 +35,8 @@ def test_buffered_matches_plain(rng):
     bit-identical to the plain scan on the slack//2-shifted stream."""
     cfg = _cfg()
     slack_ts = 8
-    shift = slack_ts * cfg.ts // 2
+    half = cfg.ts // 2
+    shift = (slack_ts * cfg.ts // half // 2) * half   # grid-snapped off0
     C, T = 4, 48000
     x, _ = _sig(rng, C, T + shift)
     xb = jnp.asarray(x)
