@@ -22,10 +22,15 @@ Layout:
     models/     Per-sonde-family decoders (RS41, DFM, M10/M20, iMet, ...).
     detect/     Sonde-type detection (template correlation bank) + PSD scanning.
     parallel/   Mesh construction, shardings, halo exchange collectives.
-    station/    Host-side control plane: config, task manager, scanner glue.
+    station/    Host-side control plane: config, task manager, scanner glue,
+                checkpoint/resume, CLI main loop.
+    sources/    SDR capture commands, IQ wire-format ingestion, KA9Q client.
+    native/     C++ host runtime (ctypes): IQ conversion, SPSC fd-pump ring
+                buffer, popcount header search.
     exporters/  Telemetry sinks (log files, SondeHub, APRS, OziMux, ...).
-    web/        Status/telemetry web UI.
-    utils/      Geometry, peak detection, sonde-specific helpers.
+    web/        Status/telemetry web API + log analytics.
+    tools/      PER-vs-Eb/N0 regression harness.
+    utils/      Geometry, peak detection, probing, stats, sonde helpers.
 """
 
 __version__ = "0.1.0"

@@ -44,6 +44,9 @@ def parse_args(argv=None):
     ap.add_argument("-t", "--timeout", type=float, default=0,
                     help="stop after this many minutes (0 = run forever)")
     ap.add_argument("-v", "--verbose", action="store_true")
+    from radiosonde_auto_rx_tpu import __version__
+    ap.add_argument("--version", action="version",
+                    version=f"radiosonde_auto_rx_tpu {__version__}")
     ap.add_argument("--replay", default=None,
                     help="replay a wideband IQ capture file instead of an SDR")
     ap.add_argument("--replay-format", default="cs16",
