@@ -147,7 +147,10 @@ class SondehubUploader:
 
     def _loop(self):
         while self.running:
-            rate = self.upload_rate * (2 if self.slower_uploads else 1)
+            # DFM slower-uploads: cap at 30 s like the reference
+            # (reference sondehub.py:388-391)
+            rate = min(30, int(self.upload_rate * 1.5)) \
+                if self.slower_uploads else self.upload_rate
             time.sleep(max(1, rate))
             self.process_queue()
 

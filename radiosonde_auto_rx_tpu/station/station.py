@@ -160,7 +160,7 @@ class Station:
             peaks, nf = scan_peaks(
                 psd, pfreqs,
                 snr_threshold=self.config["snr_threshold"],
-                min_distance_hz=self.config["min_distance"] * 10,
+                min_distance_hz=self.config["min_distance"],
                 quantization_hz=self.fs_wide / self.n_chan,
                 never_scan=[f * 1e6 - self.center_freq
                             for f in self.config["never_scan"]])
@@ -220,6 +220,10 @@ class Station:
     # web-control hooks (reference web.py control endpoints :445-661)
 
     def start_manual_decoder(self, freq_hz: float, sonde_type: str):
+        # validate before storing: an unknown type must not reach the
+        # decode path (reference isolates decoder failures per-subprocess)
+        if sonde_type not in CHAIN_TABLE and sonde_type not in MODEL_NAME:
+            raise ValueError(f"unknown sonde type {sonde_type!r}")
         ci = self.channel_of_freq(freq_hz)
         self.manual_tasks[ci] = sonde_type
         return ci
@@ -284,10 +288,16 @@ class Station:
             if "ebno_db" in stats else None
         for j, (ci, det) in enumerate(items):
             real_ci = chan_map[ci] if chan_map else ci
-            out.extend(self._decode_frames(
-                real_ci, name, bits_b[j],
-                None if soft_b is None else soft_b[j],
-                None if ebno is None else float(ebno[j].max()), det))
+            try:
+                out.extend(self._decode_frames(
+                    real_ci, name, bits_b[j],
+                    None if soft_b is None else soft_b[j],
+                    None if ebno is None else float(ebno[j].max()), det))
+            except Exception:
+                # one bad channel/decoder must not kill the capture loop
+                # (reference isolates each decoder in its own subprocess)
+                log.exception("decode failed on channel %d (%s)",
+                              real_ci, name)
         return out
 
     def _decode_frames(self, ci, name, bits, soft, snr_db, det) -> list:

@@ -84,13 +84,18 @@ class WebExporter:
 
 
 def telemetry_to_kml(telemetry_map: dict) -> str:
-    """Live positions as a KML document (reference web.py:148-276)."""
+    """Live positions as a KML document (reference web.py:148-276).
+
+    Serial/type/freq come from over-the-air frames — XML-escape them so a
+    crafted transmission cannot inject markup."""
+    from xml.sax.saxutils import escape
     placemarks = []
     for sid, t in telemetry_map.items():
+        desc = f"{t.get('type_name', t.get('type', ''))} @ {t.get('freq', '')}"
         placemarks.append(f"""
   <Placemark>
-    <name>{sid}</name>
-    <description>{t.get('type_name', t.get('type', ''))} @ {t.get('freq', '')}</description>
+    <name>{escape(str(sid))}</name>
+    <description>{escape(desc)}</description>
     <Point>
       <altitudeMode>absolute</altitudeMode>
       <coordinates>{t['lon']:.5f},{t['lat']:.5f},{t['alt']:.1f}</coordinates>
@@ -111,12 +116,14 @@ td,th{border:1px solid #999;padding:4px 8px}</style></head>
 async function refresh(){
  const a=await (await fetch('get_telemetry_archive')).json();
  const t=document.getElementById('telem');
- t.innerHTML='<tr><th>ID</th><th>Type</th><th>Freq</th><th>Lat</th>'+
-  '<th>Lon</th><th>Alt</th><th>Asc m/s</th></tr>';
+ t.replaceChildren();
+ const mkrow=(cells,tag)=>{const tr=document.createElement('tr');
+  for(const c of cells){const td=document.createElement(tag);
+   td.textContent=c==null?'':String(c);tr.appendChild(td);}
+  t.appendChild(tr);};
+ mkrow(['ID','Type','Freq','Lat','Lon','Alt','Asc m/s'],'th');
  for(const k in a){const d=a[k];
-  t.innerHTML+=`<tr><td>${k}</td><td>${d.type}</td><td>${d.freq||''}</td>`+
-   `<td>${d.lat}</td><td>${d.lon}</td><td>${d.alt}</td>`+
-   `<td>${d.ascent_rate??''}</td></tr>`;}
+  mkrow([k,d.type,d.freq||'',d.lat,d.lon,d.alt,d.ascent_rate??''],'td');}
  const s=await (await fetch('get_task_list')).json();
  document.getElementById('tasks').textContent=
    'Active channels: '+JSON.stringify(s);
