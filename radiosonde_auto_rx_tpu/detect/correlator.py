@@ -130,8 +130,42 @@ def _frm_m10_m20(x_c, spec, start, fs, inverted, dc):
     return "M10"      # header matched; default like the reference
 
 
+def _imet_subtype(x_c, pos, fs, wideband=False):
+    """Resolve the shared iMet AFSK preamble to a concrete variant by
+    tone power (reference dft_detect.c:1542-1607): accumulate ~1 s of
+    FM-audio spectrum after the preamble and compare the 2200 Hz and
+    2400 Hz data-tone powers.  2200 Hz dominant (and above the 800 Hz
+    reference band) -> iMet-4 family (IMET1RS on wideband captures);
+    2400 Hz dominant -> iMet-1 AB, which the reference drops to avoid
+    blocking MRZ detection.
+
+    Returns "IMET4" | "IMET1RS" | None (drop).
+    """
+    seg = x_c[pos:pos + int(fs)]
+    if len(seg) < fs // 4:           # too little audio to vote on
+        return None
+    n_dft = 1024
+    nseg = len(seg) // n_dft
+    sp = np.abs(np.fft.rfft(
+        seg[:nseg * n_dft].reshape(nseg, n_dft), axis=-1)).sum(axis=0)
+    df = fs / n_dft
+    if int(2500 / df) >= len(sp):
+        return None
+    m = max(1, int(50.0 / df))
+
+    def band_power(f_hz):
+        b = int(f_hz / df + 0.5)
+        lo = max(0, b - m // 4)
+        return float(sp[lo:lo + m].sum())
+
+    pow2200, pow2400, pow800 = (band_power(f) for f in (2200, 2400, 800))
+    if pow2200 > pow2400 and pow2200 > pow800:
+        return "IMET1RS" if wideband else "IMET4"
+    return None
+
+
 def detect_types(x, bank, lens, specs, fm_gain_hz=None, max_det=1,
-                 fs=48000):
+                 fs=48000, wideband=False):
     """Detect sonde types in FM stream(s).
 
     x: [T] or [C, T] float32 FM discriminator output (≈ normalized
@@ -173,8 +207,16 @@ def detect_types(x, bank, lens, specs, fm_gain_hz=None, max_det=1,
                                        fs, val < 0, float(dc[c, k, ipk]))
                     if sub is not None:
                         name = sub
+                elif name == "IMETafsk":
+                    sub = _imet_subtype(xnp[c], ipk + int(lens[k]), fs,
+                                        wideband)
+                    if sub is None:
+                        continue        # 2400 Hz dominant: not iMet-4/1RS
+                    name = sub
+                tn = {"IMET4": 26, "IMET1RS": 28,
+                      "M20": 6}.get(name, spec.tn)
                 dets.append(Detection(
-                    name=name, tn=spec.tn, score=abs(val),
+                    name=name, tn=tn, score=abs(val),
                     position=ipk + int(lens[k]),
                     inverted=val < 0, freq_offset=off))
         dets.sort(key=lambda d: d.score, reverse=True)

@@ -23,6 +23,9 @@ from radiosonde_auto_rx_tpu.ops.fm import FM_GAIN
 
 # IF lowpass bandwidth per class (dft_detect.c:148-149)
 LPIQ_BW = (6e3, 12e3, 22e3, 200e3)
+# L-band rescaled class table (dft_detect.c -L flag :1405-1410): wider
+# deviations at 1680 MHz, incl. the RS92-NGP 32 kHz tweak (scan.py:461)
+LPIQ_BW_LBAND = (20e3, 32e3, 200e3, 400e3)
 # FM-audio lowpass (dft_detect.c:148: 4k narrow, 10k wide)
 LPFM_BW = (4e3, 10e3)
 
@@ -31,16 +34,20 @@ class SondeDetector:
     """Detect sonde type(s) in 48 kHz IQ channels.
 
     Usage: ``SondeDetector(fs).detect(iq)`` -> list of Detection
-    (per channel when input is batched).
+    (per channel when input is batched).  ``lband=True`` selects the
+    1680 MHz IF bandwidth table.
     """
 
-    def __init__(self, fs: int = 48000, specs=None, taps: int = 97):
+    def __init__(self, fs: int = 48000, specs=None, taps: int = 97,
+                 lband: bool = False):
         self.fs = fs
+        self.lband = lband
+        bw_table = LPIQ_BW_LBAND if lband else LPIQ_BW
         specs = TEMPLATES if specs is None else specs
         # group templates by IF bandwidth class present at this rate
         self.classes = []
         for cls in sorted({s.lp_iq for s in specs}):
-            bw = LPIQ_BW[cls]
+            bw = bw_table[cls]
             if bw >= fs:
                 cls_specs = [s for s in specs if s.lp_iq == cls]
                 bank, lens, _ = build_template_bank(fs, cls_specs)
@@ -96,7 +103,8 @@ class SondeDetector:
                                                            self.classes):
             dets = detect_types(np.asarray(fm), bank, lens, cls_specs,
                                 fm_gain_hz=self.fs / (2.0 * FM_GAIN),
-                                max_det=0)
+                                max_det=0, fs=self.fs,
+                                wideband=self.lband or self.fs > 50000)
             for c in range(C):
                 merged[c].extend(dets[c])
         for c in range(C):

@@ -55,6 +55,12 @@ _H = {
     "WXRPN9": ("10101010" "10101010" "10101010" "11000001" "10010100"),
     "IMET1AB": ("0000" "11110000111100001111000011110000" "1111"
                 "0000" "10101100110010101100101010101100" "1111"),
+    # 1200 Hz 0xAA 0xAA AFSK preamble shared by all iMet variants
+    # (dft_detect.c imet_preamble :94-98); which variant it is gets
+    # resolved by the 2200-vs-2400 Hz tone-power check
+    # (dft_detect.c:1542-1607)
+    "IMETafsk": ("11110000111100001111000011110000"
+                 "11110000111100001111000011110000"),
     "IMET4": ("0000" "1111" "0000" "1111" "0000" "1111" "0000" "1111"),
 }
 
@@ -74,8 +80,26 @@ TEMPLATES = [
     TemplateSpec("WXR301",   _H["WXR301"],   4800, 1.0, 0.65, 2, 16, 3),
     TemplateSpec("WXRPN9",   _H["WXRPN9"],   5000, 1.0, 0.65, 2, 17, 3),
     TemplateSpec("IMET1AB",  _H["IMET1AB"],  9600, 1.0, 0.80, 2, 29, 3),
-    TemplateSpec("IMET4",    _H["IMET4"],    9600, 0.5, 0.80, 2, 26, 1),
+    # The iMet family is detected ONLY via the 64-bit AFSK idle preamble
+    # + tone-power disambiguation; the short IMET4/IMET1RS headers are
+    # never correlated directly (they false-match payload data — the
+    # reference's correlate loop stops at idxIMETafsk,
+    # dft_detect.c:1517-1518) and exist only as redirect targets.
+    TemplateSpec("IMETafsk", _H["IMETafsk"], 9600, 0.5, 0.80, 4, 25, 1),
 ]
+
+# redirect targets for the IMETafsk tone check (dft_detect.c:1586-1597)
+IMET4_SPEC = TemplateSpec("IMET4", _H["IMET4"], 9600, 0.5, 0.80, 2, 26, 1)
+IMET1RS_SPEC = TemplateSpec("IMET1RS", _H["IMET4"], 9600, 0.5, 0.80, 2,
+                            28, 3)
+
+# 1680 MHz scan set (reference scan.py:488-547: LMS6-1680 via MK2A
+# telemetry + RS92-NGP with the narrower --bw 32 filter; iMet-1 RS
+# historically also flew at 1680 — reached via the IMETafsk redirect).
+# Used with the L-band IF bandwidth table (dft_detect.c -L flag
+# :1405-1410).
+WIDEBAND_TEMPLATES = [s for s in TEMPLATES
+                      if s.name in ("RS92", "MK2LMS", "IMETafsk")]
 
 
 def q_func(x):

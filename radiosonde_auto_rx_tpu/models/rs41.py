@@ -93,7 +93,61 @@ def descramble(frame: np.ndarray) -> np.ndarray:
 # ECC: two interleaved RS(255,231) codewords (rs41mod.c:1699-1762)
 # ---------------------------------------------------------------------------
 
-def rs41_ecc(frame: np.ndarray, frmlen: int, second_pass: bool = True):
+ERA_MAX = 12        # ECC3 erasure-search depth (rs41mod.c:1712)
+
+
+def _frame_pos_to_cw(pos: int):
+    """Frame byte position -> (codeword index, cw array position) or None
+    (rs41mod.c:1867-1870 position mapping)."""
+    if RS_PARPOS <= pos < RS_PARPOS + RS_R:
+        return 0, pos - RS_PARPOS
+    if RS_PARPOS + RS_R <= pos < RS_PARPOS + 2 * RS_R:
+        return 1, pos - (RS_PARPOS + RS_R)
+    if pos >= RS_MSGPOS:
+        k = pos - RS_MSGPOS
+        cwpos = RS_R + k // 2
+        if cwpos < 255:
+            return k % 2, cwpos
+    return None
+
+
+def _ecc3_search(cw_row, cand_cw_pos, cand_masks):
+    """Soft-score erasure/bit-toggle list decode of one failing codeword
+    (rs41mod.c 3rd pass :1848-1943): try pairs of erasures at the
+    lowest-|score| byte positions, optionally toggling the weakest bit of
+    a third low-score byte.  All (i, j, k) combinations are tried as ONE
+    batched errors-and-erasures decode; the first success in the
+    reference's search order wins.
+
+    Returns (corrected_row, n_corrected) or None.
+    """
+    M = min(len(cand_cw_pos), ERA_MAX)
+    combos = []
+    for i in range(1, M):
+        for j in range(i):
+            combos.append((i, j, -1))
+            for k in range(j):
+                combos.append((i, j, k))
+    if not combos:
+        return None
+    B = len(combos)
+    cws = np.repeat(cw_row[None, :], B, axis=0)
+    era = np.zeros((B, 2), dtype=np.int64)
+    for b, (i, j, k) in enumerate(combos):
+        era[b, 0] = cand_cw_pos[i]
+        era[b, 1] = cand_cw_pos[j]
+        if k >= 0:
+            cws[b, cand_cw_pos[k]] ^= cand_masks[k]
+    errs = RS255_231.decode(cws, era, np.full(B, 2, dtype=np.int64))
+    ok = np.nonzero(errs >= 0)[0]
+    if len(ok) == 0:
+        return None
+    b = int(ok[0])
+    return cws[b], int(errs[b])
+
+
+def rs41_ecc(frame: np.ndarray, frmlen: int, second_pass: bool = True,
+             byte_scores=None, bit_toggle=None, fixed=None):
     """Correct the frame in place; returns (ec, frame).
 
     ec >= 0: total corrected symbols; ec < 0: -(cw1_bad | cw2_bad<<1).
@@ -101,6 +155,12 @@ def rs41_ecc(frame: np.ndarray, frmlen: int, second_pass: bool = True):
     coefficient in the reference's convention — the reference treats
     cw[i] as coefficient of X^i with parity at low indices, which matches
     our RSCode convention directly).
+
+    ``byte_scores`` ([FRAME_LEN] min-|soft| per byte) enables the ECC3
+    erasure/bit-toggle search past the RS limit; ``bit_toggle``
+    ([FRAME_LEN] uint8, mask of the weakest bit per byte) adds the
+    bit-toggle dimension; ``fixed`` (bool mask) excludes positions
+    already stuffed from history (ECC4, rs41mod.c inFixed :1680-1690).
     """
     full = np.zeros(FRAME_LEN, dtype=np.uint8)
     full[:min(frmlen, FRAME_LEN)] = frame[:min(frmlen, FRAME_LEN)]
@@ -140,6 +200,43 @@ def rs41_ecc(frame: np.ndarray, frmlen: int, second_pass: bool = True):
             if errs[i] < 0 and errs2[i] >= 0:
                 cw[i] = cw2[i]
                 errs[i] = errs2[i]
+            elif errs[i] < 0:
+                # keep the stuffed codeword as the ECC3 starting point
+                # (the reference's 3rd pass operates on the post-pass2
+                # cw arrays, rs41mod.c:1848+)
+                cw[i] = cw2[i]
+
+    if byte_scores is not None and (errs[0] < 0 or errs[1] < 0):
+        # ECC3: per-byte soft scores -> erasure candidates
+        # (score preparation rs41mod.c print_frame :2490-2500)
+        flen = NDATA_LEN if frametype(full) >= 0 else FRAME_LEN
+        scores = np.asarray(byte_scores, dtype=np.float64).copy()
+        scores.resize(FRAME_LEN)
+        mx = np.floor(np.abs(scores[HEADLEN_BYTES:flen]).max() + 1.5)
+        scores[:HEADLEN_BYTES] = mx * 2.0
+        scores[flen:] = mx
+        masks = (np.asarray(bit_toggle, dtype=np.uint8).copy()
+                 if bit_toggle is not None
+                 else np.zeros(FRAME_LEN, np.uint8))
+        masks.resize(FRAME_LEN)
+        order = np.argsort(np.abs(scores), kind="stable")
+        for i in range(2):
+            if errs[i] >= 0:
+                continue
+            cand_pos, cand_masks = [], []
+            for p in order:
+                if fixed is not None and fixed[int(p)]:
+                    continue
+                m = _frame_pos_to_cw(int(p))
+                if m is None or m[0] != i:
+                    continue
+                cand_pos.append(m[1])
+                cand_masks.append(int(masks[int(p)]))
+                if len(cand_pos) >= ERA_MAX:
+                    break
+            res = _ecc3_search(cw[i], cand_pos, cand_masks)
+            if res is not None:
+                cw[i], errs[i] = res[0], res[1]
 
     # write back
     full[RS_PARPOS:RS_PARPOS + RS_R] = cw[0, :RS_R]
@@ -400,6 +497,9 @@ class RS41Decoder:
         self.emit_subframe = emit_subframe
         self.calconf_complete = False
         self.calconf_sent = False
+        # ECC4 frame-number history
+        self.last_frnr = 0
+        self._since_good = 0
 
     # -- state reset on new sonde (rs41mod.c get_SondeID :457-507) --
     def _new_sonde(self, sid: str):
@@ -416,16 +516,22 @@ class RS41Decoder:
         self.freq_khz = 0
         self.calconf_complete = False
         self.calconf_sent = False
+        self.last_frnr = 0          # history invalid for a new sonde
+        self._since_good = 0
 
     def decode_bits(self, bits: np.ndarray, soft=None):
         """Find frames in a hard-bit stream and decode each.
 
         bits: stream of 0/1 following the RS41 convention (high tone = 1).
+        ``soft``: optional per-bit soft values aligned with ``bits``;
+        enables the ECC3 byte-score erasure search (the min-|soft| per
+        byte is the byte score, rs41mod.c:2939-2958).
         Returns a list of telemetry dicts.
         """
         out = []
         starts = find_frame_starts(bits, HEADER_BITS, max_errors=3)
         for s in starts:
+            self._since_good += 1
             nbits = (FRAME_LEN - HEADLEN_BYTES) * 8
             chunk = bits[s:s + nbits]
             payload = bits_to_bytes_le(chunk)
@@ -436,16 +542,67 @@ class RS41Decoder:
                 np.concatenate([np.zeros(HEADLEN_BYTES, np.uint8), payload]))
             frame[HEADLEN_BYTES:HEADLEN_BYTES + n] = \
                 xframe[HEADLEN_BYTES:HEADLEN_BYTES + n]
-            telem = self.decode_frame(frame, HEADLEN_BYTES + n)
+            scores = toggles = None
+            if soft is not None:
+                sc = np.abs(np.asarray(soft[s:s + nbits], dtype=np.float64))
+                n8 = (len(sc) // 8) * 8
+                scb = sc[:n8].reshape(-1, 8)
+                scores = np.zeros(HEADLEN_BYTES + len(scb))
+                scores[HEADLEN_BYTES:] = scb.min(axis=1)
+                toggles = np.zeros(HEADLEN_BYTES + len(scb), np.uint8)
+                toggles[HEADLEN_BYTES:] = (1 << scb.argmin(axis=1)
+                                           ).astype(np.uint8)
+            telem = self.decode_frame(frame, HEADLEN_BYTES + n,
+                                      byte_scores=scores,
+                                      bit_toggle=toggles)
             if telem is not None:
                 out.append(telem)
         return out
 
-    def decode_frame(self, frame: np.ndarray, frmlen: int = FRAME_LEN):
+    def _stuff_known_bytes(self, frame):
+        """ECC4 speculative known-byte stuffing (rs41mod.c:1764-1845):
+        when the FRAME-block CRC fails, overwrite SondeID / cal bytes /
+        frame number from decoder history before retrying the RS decode.
+        Returns (stuffed_frame, fixed_mask)."""
+        f = frame.copy()
+        fixed = np.zeros(FRAME_LEN, dtype=bool)
+        if check_crc(f, POS_FRAME, PCK_FRAME):
+            return f, fixed
+        if self.id and bytes(f[POS_SONDEID:POS_SONDEID + 8]) != \
+                self.id.encode()[:8]:
+            f[POS_SONDEID:POS_SONDEID + 8] = np.frombuffer(
+                self.id.encode()[:8].ljust(8), dtype=np.uint8)
+            fixed[POS_SONDEID:POS_SONDEID + 8] = True
+        if not check_crc(f, POS_FRAME, PCK_FRAME):
+            calfr = int(f[POS_CALDATA])
+            if calfr < 51 and self.calfrchk[calfr]:
+                f[POS_CALDATA + 1:POS_CALDATA + 17] = \
+                    self.calibytes[calfr * 16:calfr * 16 + 16]
+                fixed[POS_CALDATA + 1:POS_CALDATA + 17] = True
+        if not check_crc(f, POS_FRAME, PCK_FRAME) and self.last_frnr:
+            pred = self.last_frnr + self._since_good
+            if ((pred >> 8) & 0xFF) != int(f[POS_FRAMENB + 1]):
+                f[POS_FRAMENB + 1] = (pred >> 8) & 0xFF
+                fixed[POS_FRAMENB + 1] = True
+            if (pred & 0xFF) != int(f[POS_FRAMENB]):
+                f[POS_FRAMENB] = pred & 0xFF
+                fixed[POS_FRAMENB] = True
+        return f, fixed
+
+    def decode_frame(self, frame: np.ndarray, frmlen: int = FRAME_LEN,
+                     byte_scores=None, bit_toggle=None):
         """Decode one descrambled frame -> telemetry dict or None."""
         ft = frametype(frame)
         flen = NDATA_LEN if ft >= 0 else FRAME_LEN
+        orig = frame.copy()
         ec, frame = rs41_ecc(frame, min(frmlen, flen))
+        if ec < 0 and byte_scores is not None:
+            # ECC4 known-byte stuffing from history, then the ECC3
+            # erasure/bit-toggle search (rs41mod.c:1764-1943)
+            stuffed, fixed = self._stuff_known_bytes(orig)
+            ec, frame = rs41_ecc(stuffed, min(frmlen, flen),
+                                 byte_scores=byte_scores,
+                                 bit_toggle=bit_toggle, fixed=fixed)
         if ec < 0:
             return None
 
@@ -536,6 +693,9 @@ class RS41Decoder:
         telem["id"] = sid
         telem["frame"] = int(frame[POS_FRAMENB + ofs]) | (
             int(frame[POS_FRAMENB + ofs + 1]) << 8)
+        # ECC4 history: last good frame number (rs41mod.c:433-434)
+        self.last_frnr = telem["frame"]
+        self._since_good = 0
         telem["batt"] = round(int(frame[POS_BATT + ofs]) / 10.0, 2)
         calfr = int(frame[POS_CALDATA + ofs])
         if calfr < 51 and not self.calfrchk[calfr]:

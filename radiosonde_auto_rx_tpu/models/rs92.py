@@ -66,6 +66,51 @@ DOP_LIMIT = 9.9
 CALX170 = bytes((0x36, 0x98, 0x92, 0x25, 0x6B, 0xB3, 0x99, 0xE1,
                  0x57, 0x05, 0x30, 0x9A, 0xFE, 0x51, 0xF4, 0xAB))
 
+_M32 = 0xFFFFFFFF
+
+
+def xor_ptu_key(calibytes):
+    """16-byte PTU descrambling keystream for RS92-NGP, derived from the
+    (unscrambled) cal bytes at 0x24 by the reference's add/shift/xor hash
+    (rs92mod.c xor_ptu :367-419)."""
+    pcal = np.asarray(calibytes[0x24:0x24 + 11], dtype=np.int64)
+    key = np.zeros(16, dtype=np.uint8)
+    for j in range(8):
+        a = 0x1D89
+        for k in range(4):
+            c = a
+            a = (int(pcal[j + k]) + c) & _M32
+            c = a
+            a = ((a << 10) + c) & _M32
+            c = a
+            a = ((a >> 6) ^ c) & _M32
+        c = a
+        a = ((a << 3) + c) & _M32
+        c = a
+        a = ((a >> 11) ^ c) & _M32
+        c = a
+        a = ((a << 15) + c) & _M32
+        key[2 * j] = a & 0xFF
+        key[2 * j + 1] = (a >> 8) & 0xFF
+    return key
+
+
+def xcal_key(calibytes):
+    """16-byte cal descrambling keystream for RS92-NGP: the raw cal block
+    at 0x170 XORed against the known SGP constant, with the NGP float
+    byte-order permutation folded in (rs92mod.c:481-502)."""
+    p = np.asarray(calibytes[0x170:0x180], dtype=np.uint8)
+    q = np.frombuffer(CALX170, dtype=np.uint8)
+    key = np.zeros(16, dtype=np.uint8)
+    for k in range(3):
+        key[5 * k] = p[5 * k] ^ q[5 * k]
+        key[5 * k + 1] = p[5 * k + 1] ^ q[5 * k + 1]
+        key[5 * k + 3] = p[5 * k + 3] ^ q[5 * k + 2]
+        key[5 * k + 4] = p[5 * k + 4] ^ q[5 * k + 3]
+        key[5 * k + 2] = p[5 * k + 2] ^ q[5 * k + 4]
+    key[15] = p[15] ^ q[15]
+    return key
+
 
 def gps_to_date(week, gpssec):
     """GPS week + seconds -> (year, month, day) (rs92mod.c:218-236)."""
@@ -155,13 +200,18 @@ class RS92Decoder:
 
     HEADER = HEADER
 
-    def __init__(self, jsn_freq_khz: int = 0, ephemeris=None):
+    def __init__(self, jsn_freq_khz: int = 0, ephemeris=None,
+                 ngp: bool = False):
         self.jsn_freq_khz = jsn_freq_khz
         if isinstance(ephemeris, str):
             self.ephs = gps_ephem.read_rinex_nav(ephemeris)
         else:
             self.ephs = list(ephemeris) if ephemeris else []
         self.id = ""
+        # RS92-NGP (1680 MHz): cal + PTU scrambled; auto-toggled from the
+        # cal constant at 0x170 once cal completes (rs92mod.c
+        # chk_toggle_type :342-365)
+        self.ngp = bool(ngp)
         self._reset_cal()
         self.freq_khz = 0
 
@@ -170,6 +220,8 @@ class RS92Decoder:
         self.calfrchk = np.zeros(32, dtype=bool)
         self.cal_f32 = np.zeros(256, dtype=np.float32)
         self.cal_complete = False
+        self.xptu16 = np.zeros(16, dtype=np.uint8)
+        self._freq_word = None
 
     # ------------------------------------------------------------------ #
     # bit layer
@@ -237,7 +289,11 @@ class RS92Decoder:
         frnr = _u2(frame, POS_FRAMENB)
         if (crc & CRC_FRAME) == 0:
             self._get_sonde_id(frame)
-        ptu = self._get_ptu(frame) if (crc & CRC_PTU) == 0 else {}
+        # NGP PTU descrambling needs a valid frame number
+        # (rs92mod.c get_Meas :570)
+        ptu_ok = (crc & CRC_PTU) == 0 and not (
+            self.ngp and (crc & CRC_FRAME))
+        ptu = self._get_ptu(frame) if ptu_ok else {}
         aux = self._get_aux(frame) if (crc & CRC_AUX) == 0 else None
 
         if crc & (CRC_FRAME | CRC_GPS) or not self.ephs or not self.id:
@@ -266,7 +322,7 @@ class RS92Decoder:
             "vel_h": round(vH, 5),
             "heading": round(vD, 5),
             "vel_v": round(vU, 5),
-            "subtype": "RS92-SGP",
+            "subtype": "RS92-NGP" if self.ngp else "RS92-SGP",
             "ref_datetime": "GPS",
             "ref_position": "GPS",
             "ecc": int(ecc),
@@ -298,22 +354,46 @@ class RS92Decoder:
                 frame[POS_CALDATA + 1:POS_CALDATA + 17]
             self.calfrchk[calfr] = True
         if calfr == 0:
-            self.freq_khz = 400000 + 10 * _u2(frame, POS_CALFREQ)
+            self._freq_word = _u2(frame, POS_CALFREQ)
+        if self._freq_word is not None:
+            base = 1600000 if self.ngp else 400000
+            self.freq_khz = base + 10 * self._freq_word
         if not self.cal_complete and self.calfrchk.all():
             self.cal_complete = True
-            # 66 records of [idx, f32 LE] starting at 0x40
-            # (rs92mod.c:507-526); SGP byte order (NGP unsupported)
+            # type auto-toggle: the raw 0x170 block equals the SGP
+            # constant only for SGP sondes (rs92mod.c chk_toggle_type)
+            self.ngp = bytes(self.calibytes[0x170:0x180]) != CALX170
+            if self._freq_word is not None:
+                base = 1600000 if self.ngp else 400000
+                self.freq_khz = base + 10 * self._freq_word
+            xcal = self.calibytes[0x40:0x40 + 66 * 5].copy()
+            if self.ngp:
+                self.xptu16 = xor_ptu_key(self.calibytes)
+                xkey = xcal_key(self.calibytes)
+                xcal ^= np.tile(xkey, -(-len(xcal) // 16))[:len(xcal)]
+            # 66 records of [idx, f32] starting at 0x40 (rs92mod.c
+            # :507-526); NGP float bytes permuted (d1,d2,d0,d3)
             for j in range(66):
-                rec = self.calibytes[0x40 + 5 * j:0x40 + 5 * j + 5]
+                rec = xcal[5 * j:5 * j + 5]
                 idx = int(rec[0])
-                self.cal_f32[idx] = np.frombuffer(
-                    bytes(rec[1:5]), dtype="<f4")[0]
+                b = rec[1:5]
+                if self.ngp:
+                    # xx_dat32 = d1 | d2<<8 | d0<<16 | d3<<24
+                    # (rs92mod.c:516-526)
+                    b = b[[1, 2, 0, 3]]
+                self.cal_f32[idx] = np.frombuffer(bytes(b), dtype="<f4")[0]
 
     def _get_ptu(self, frame):
         """PTU channels -> T/RH/P via cal polynomials (rs92mod.c:567-630)."""
         if not self.cal_complete:
             return {}
         m = frame[POS_PTU:POS_PTU + 24].astype(np.int64)
+        if self.ngp:
+            # NGP: meas bytes XORed with the frame-number bytes and the
+            # cal-derived keystream (rs92mod.c get_Meas :573-581)
+            j = np.arange(24)
+            m ^= frame[POS_FRAMENB + (j & 1)].astype(np.int64)
+            m ^= self.xptu16[j % 16].astype(np.int64)
         ch = (m[0::3] | (m[1::3] << 8) | (m[2::3] << 16)).astype(np.float64)
         temp, hum1, hum2, ref1, ref2, pres, ref3, ref4 = ch
         cal = self.cal_f32
@@ -469,8 +549,15 @@ def default_cal_coeffs():
     return cal
 
 
-def make_calibytes(cal_coeffs=None, freq_khz=402500):
-    """32x16 calibration byte array with f32 records + SGP tag block."""
+def make_calibytes(cal_coeffs=None, freq_khz=402500, ngp=False,
+                   ngp_key=None):
+    """32x16 calibration byte array with f32 records + SGP tag block.
+
+    ``ngp=True`` builds an RS92-NGP cal block: records in NGP float byte
+    order, the 0x170 constant block in its NGP plaintext arrangement, and
+    the whole 0x40.. region XORed with a 16-byte keystream — exactly what
+    the decoder's xcal_key/chk_toggle_type machinery expects
+    (rs92mod.c:481-526)."""
     cal_coeffs = default_cal_coeffs() if cal_coeffs is None else cal_coeffs
     calibytes = np.zeros(32 * 16, dtype=np.uint8)
     items = sorted(cal_coeffs.items())
@@ -478,15 +565,42 @@ def make_calibytes(cal_coeffs=None, freq_khz=402500):
     for j, (idx, val) in enumerate(items):
         rec = 0x40 + 5 * j
         calibytes[rec] = idx
-        calibytes[rec + 1:rec + 5] = np.frombuffer(
-            np.float32(val).tobytes(), dtype=np.uint8)
+        b = np.frombuffer(np.float32(val).tobytes(), dtype=np.uint8)
+        if ngp:
+            # inverse of the decode permutation (b0..b3 -> d1,d2,d0,d3)
+            b = b[[2, 0, 1, 3]]
+        calibytes[rec + 1:rec + 5] = b
     for j in range(len(items), 56):
         calibytes[0x40 + 5 * j] = 200  # unused slot
-    calibytes[0x170:0x180] = np.frombuffer(CALX170, dtype=np.uint8)
-    # cal frame 0 bytes 2-3 = (freq - 400 MHz) / 10 kHz
-    w = (freq_khz - 400000) // 10
+    q = np.frombuffer(CALX170, dtype=np.uint8)
+    if ngp:
+        # plaintext 0x170 block = sigma-permuted SGP constant so the
+        # decoder's key extraction (p ^ q with the same sigma) recovers
+        # the keystream
+        plain = np.zeros(16, dtype=np.uint8)
+        for k in range(3):
+            plain[5 * k] = q[5 * k]
+            plain[5 * k + 1] = q[5 * k + 1]
+            plain[5 * k + 3] = q[5 * k + 2]
+            plain[5 * k + 4] = q[5 * k + 3]
+            plain[5 * k + 2] = q[5 * k + 4]
+        plain[15] = q[15]
+        calibytes[0x170:0x180] = plain
+    else:
+        calibytes[0x170:0x180] = q
+    # cal frame 0 bytes 2-3 = (freq - base) / 10 kHz (rs92mod.c:755-758)
+    base = 1600000 if ngp else 400000
+    w = (freq_khz - base) // 10
     calibytes[POS_CALFREQ - (POS_CALDATA + 1)] = w & 0xFF
     calibytes[POS_CALFREQ - (POS_CALDATA + 1) + 1] = w >> 8
+    if ngp:
+        key = np.asarray(
+            ngp_key if ngp_key is not None
+            else [0x5A, 0xC3, 0x17, 0x88, 0x2E, 0xD1, 0x4B, 0x96,
+                  0x63, 0x0F, 0xB2, 0x79, 0xE4, 0x3D, 0xA8, 0x51],
+            dtype=np.uint8)
+        n = 66 * 5
+        calibytes[0x40:0x40 + n] ^= np.tile(key, -(-n // 16))[:n]
     return calibytes
 
 
@@ -506,7 +620,7 @@ def _ptu_channels(T=-25.0, RH=45.0, P=320.0):
 def encode_frame(frnr=100, sonde_id="R1234567", calfr=0, calibytes=None,
                  ephs=None, tow_ms=43_205_000, lat=-34.95, lon=138.52,
                  alt=12000.0, vel_neu=(5.0, 3.0, -4.0), T=-25.0, RH=45.0,
-                 P=320.0, aux=None):
+                 P=320.0, aux=None, ngp=False):
     """Build one valid 240-byte RS92-SGP frame (incl. RS parity).
 
     Pseudoranges/rates are synthesized from ``ephs`` so that the reference
@@ -536,6 +650,13 @@ def encode_frame(frnr=100, sonde_id="R1234567", calfr=0, calibytes=None,
         frame[POS_PTU + 3 * i] = v & 0xFF
         frame[POS_PTU + 3 * i + 1] = (v >> 8) & 0xFF
         frame[POS_PTU + 3 * i + 2] = (v >> 16) & 0xFF
+    if ngp:
+        # scramble on-air PTU bytes (inverse == forward XOR,
+        # rs92mod.c get_Meas :573-581); CRC covers the scrambled bytes
+        xptu = xor_ptu_key(calibytes)
+        j = np.arange(24)
+        frame[POS_PTU:POS_PTU + 24] ^= \
+            frame[POS_FRAMENB + (j & 1)] ^ xptu[j % 16]
 
     # GPS block
     t = tow_ms / 1000.0

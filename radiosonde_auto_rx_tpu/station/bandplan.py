@@ -1,0 +1,104 @@
+"""Band plan + retune scheduler: full-band coverage from one SDR.
+
+The reference covers any configured ``min_freq..max_freq`` range by
+sweeping ``rtl_power`` across it and retuning per detection
+(reference auto_rx/autorx/scan.py:413-656, 948-1250), plus a separate
+1680 MHz FM-mode scan (scan.py:488-547).  The TPU station instead
+captures whole ``capture_rate``-wide segments and channelizes on device,
+so full-band coverage = a *hop schedule* over segment center
+frequencies.  ``BandPlan`` computes the segment set; ``BandScheduler``
+decides which segment each capture block should be tuned to:
+
+* segments hosting active decoders are serviced round-robin every block
+  (telemetry continuity comes first, like the reference's scan-XOR-decode
+  SDR allocation, auto_rx.py:101-128);
+* when scanning is enabled, a scan visit to the next un-serviced segment
+  is interleaved every ``scan_every`` blocks so new sondes anywhere in
+  the band are still found while decoding.
+"""
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Segment:
+    center_hz: float        # capture center frequency
+    lband: bool             # True for the 1680 MHz segment set
+
+
+class BandPlan:
+    """Segment centers covering the configured frequency range(s).
+
+    ``usable`` trims the capture edges (PFB channel rolloff at the band
+    edge); segments overlap by the trimmed margin so no frequency falls
+    in a gap.  Ranges above 1 GHz become L-band (wide-channel) segments.
+    """
+
+    def __init__(self, config: dict, capture_rate: int | None = None):
+        fs = int(capture_rate or config["capture_rate"])
+        usable = 0.9 * fs
+        self.segments: list[Segment] = []
+        ranges = [(config["min_freq"] * 1e6, config["max_freq"] * 1e6)]
+        # optional second range (e.g. 1676..1684 for the 1680 MHz band);
+        # reference stations use a dedicated SDR for this band
+        if config.get("min_freq2") and config.get("max_freq2"):
+            ranges.append((config["min_freq2"] * 1e6,
+                           config["max_freq2"] * 1e6))
+        for lo, hi in ranges:
+            lband = lo >= 1e9
+            span = max(hi - lo, 1.0)
+            n_seg = max(1, int(-(-span // usable)))     # ceil
+            for i in range(n_seg):
+                if n_seg == 1:
+                    c = (lo + hi) / 2
+                else:
+                    c = lo + usable / 2 + i * (span - usable) / (n_seg - 1)
+                self.segments.append(Segment(float(c), lband))
+
+    def segment_of(self, freq_hz: float) -> Segment | None:
+        """The segment whose capture covers ``freq_hz`` (closest center)."""
+        best, bdist = None, None
+        for s in self.segments:
+            d = abs(freq_hz - s.center_hz)
+            if bdist is None or d < bdist:
+                best, bdist = s, d
+        return best
+
+
+class BandScheduler:
+    """Pick the capture center for each block.
+
+    ``next_center(active_freqs)`` -> Segment.  Decode segments (those
+    covering an active or manual task frequency) rotate round-robin;
+    a scan rotation over the remaining segments is interleaved every
+    ``scan_every`` blocks (always when nothing is being decoded).
+    """
+
+    def __init__(self, plan: BandPlan, scan_every: int = 4):
+        self.plan = plan
+        self.scan_every = max(1, scan_every)
+        self._scan_idx = 0
+        self._decode_idx = 0
+        self._tick = 0
+
+    def next_center(self, active_freqs=(), scan_enabled: bool = True
+                    ) -> Segment:
+        segs = self.plan.segments
+        if len(segs) == 1:
+            return segs[0]
+        decode_set = [s for s in segs
+                      if any(self._covers(s, f) for f in active_freqs)]
+        self._tick += 1
+        scan_turn = scan_enabled and (
+            not decode_set or self._tick % self.scan_every == 0)
+        if scan_turn:
+            scan_set = [s for s in segs if s not in decode_set] or segs
+            seg = scan_set[self._scan_idx % len(scan_set)]
+            self._scan_idx += 1
+            return seg
+        seg = decode_set[self._decode_idx % len(decode_set)]
+        self._decode_idx += 1
+        return seg
+
+    def _covers(self, seg: Segment, freq_hz: float) -> bool:
+        return self.plan.segment_of(freq_hz) is seg

@@ -27,7 +27,9 @@ import time
 
 log = logging.getLogger("checkpoint")
 
-FORMAT_VERSION = 1
+# v2: task state keyed by absolute frequency (Hz) instead of channel
+# index, so checkpoints survive band-plan retunes
+FORMAT_VERSION = 2
 
 
 def save_station_state(station, path: str) -> str:
@@ -76,9 +78,6 @@ def load_station_state(station, path: str) -> bool:
     if state.get("version") != FORMAT_VERSION:
         log.warning("checkpoint version %s unsupported",
                     state.get("version"))
-        return False
-    if abs(state.get("center_freq", 0) - station.center_freq) > 1.0:
-        log.warning("checkpoint center frequency differs — ignoring")
         return False
     now = time.time()
     station.temporary_blocks = {

@@ -29,9 +29,19 @@ def default_config() -> dict:
         "sdr_quantity": 1,
         "capture_rate": 2400000,
         "num_channels": 50,
+        # wide channels (240 kHz default) used for >1 GHz captures
+        # (MK2LMS / RS92-NGP); 0 = capture_rate // 240000
+        "num_channels_wide": 0,
         # scanning
         "min_freq": 400.4,
         "max_freq": 404.0,
+        # optional second range, e.g. 1676.0/1684.0 for the 1680 MHz band
+        # (reference uses a dedicated SDR for 1680, scan.py:488-547; here
+        # the band scheduler hops the same capture device through it)
+        "min_freq2": 0.0,
+        "max_freq2": 0.0,
+        # scan-visit cadence while decoding (1 scan block per N)
+        "scan_every": 4,
         "rx_timeout": 120,
         "only_scan": [],
         "never_scan": [],
@@ -120,8 +130,9 @@ _SECTIONS = {
               "email_smtp_authentication", "email_smtp_login",
               "email_smtp_password", "email_from", "email_to",
               "email_subject"),
-    "search_params": ("min_freq", "max_freq", "rx_timeout",
-                      "snr_threshold", "min_distance", "quantization"),
+    "search_params": ("min_freq", "max_freq", "min_freq2", "max_freq2",
+                      "rx_timeout", "snr_threshold", "min_distance",
+                      "quantization", "scan_every"),
     "location": ("station_lat", "station_lon", "station_alt",
                  "station_code", "gpsd_enabled", "gpsd_host", "gpsd_port"),
     "filtering": ("max_altitude", "max_radius_km", "min_radius_km",
@@ -146,7 +157,8 @@ _SECTIONS = {
                  "max_peaks", "decoder_spacing_limit",
                  "temporary_block_time", "wideband_sondes",
                  "close_on_encrypted", "save_cal_data",
-                 "enable_debug_logging", "capture_rate", "num_channels"),
+                 "enable_debug_logging", "capture_rate", "num_channels",
+                 "num_channels_wide"),
 }
 
 

@@ -141,27 +141,40 @@ def build_exporters(config, web_exporter=None):
 
 class BlockSource:
     """Wideband IQ block reader over a replay file or an SDR capture
-    process; yields [2, T] float32 planes per block."""
+    process; yields [2, T] float32 planes per block.
 
-    def __init__(self, config, args):
-        from radiosonde_auto_rx_tpu.sources.iq_source import (
-            IQStreamSource, open_pumped)
-        fs = int(config["capture_rate"])
-        block = int(fs * args.block_seconds)
+    ``retune(center_hz)`` restarts the capture process on a new center
+    frequency for band-plan hopping (replay files are fixed-center and
+    ignore retunes, like the reference's per-task rtl_fm restarts,
+    reference autorx/scan.py:413-656)."""
+
+    def __init__(self, config, args, center_hz: float | None = None):
+        self.config = config
+        self.args = args
+        self.center_hz = (args.center * 1e6 if center_hz is None
+                          else float(center_hz))
         self.proc = None
         self._file = None
-        if args.replay:
-            self._file = open(args.replay, "rb")
+        self.src = None
+        self._open()
+
+    def _open(self):
+        from radiosonde_auto_rx_tpu.sources.iq_source import (
+            IQStreamSource, open_pumped)
+        fs = int(self.config["capture_rate"])
+        block = int(fs * self.args.block_seconds)
+        if self.args.replay:
+            self._file = open(self.args.replay, "rb")
             stream = self._file
-            fmt = args.replay_format
+            fmt = self.args.replay_format
         else:
             from radiosonde_auto_rx_tpu.sources.sdr_wrappers import \
                 get_sdr_iq_cmd
             cmd = get_sdr_iq_cmd(
-                config["sdr_type"], args.center * 1e6, fs,
-                sdr_hostname=config.get("sdr_hostname", ""),
-                sdr_port=config.get("sdr_port", 5555)).rstrip("| ")
-            log.info("capture: %s", cmd)
+                self.config["sdr_type"], self.center_hz, fs,
+                sdr_hostname=self.config.get("sdr_hostname", ""),
+                sdr_port=self.config.get("sdr_port", 5555)).rstrip("| ")
+            log.info("capture @ %.3f MHz: %s", self.center_hz / 1e6, cmd)
             self.proc = subprocess.Popen(cmd, shell=True,
                                          stdout=subprocess.PIPE,
                                          start_new_session=True)
@@ -169,18 +182,33 @@ class BlockSource:
             fmt = "cs16"
         self.src = IQStreamSource(stream, fmt=fmt, block_samples=block)
 
+    def retune(self, center_hz: float):
+        if self.args.replay or abs(center_hz - self.center_hz) < 1.0:
+            return
+        self._stop()
+        self.center_hz = float(center_hz)
+        self._open()
+
+    def read_block(self):
+        return self.src.read_block()
+
     def blocks(self):
         return self.src.blocks()
 
-    def close(self):
+    def _stop(self):
         if self.proc is not None:
             try:
                 import os
                 os.killpg(os.getpgid(self.proc.pid), signal.SIGKILL)
             except (OSError, ProcessLookupError):
                 pass
+            self.proc = None
         if self._file is not None:
             self._file.close()
+            self._file = None
+
+    def close(self):
+        self._stop()
 
 
 def run_station(args, config) -> int:
@@ -216,6 +244,21 @@ def run_station(args, config) -> int:
         log.info("single-frequency mode: %.3f MHz -> channel %d",
                  args.frequency, forced_chan)
 
+    # band plan: cover min_freq..max_freq (and the optional 1680 MHz
+    # range) by hopping capture segments (reference scans the whole range
+    # via rtl_power sweeps + per-peak retunes, scan.py:413-656)
+    plan = scheduler = None
+    if args.frequency is None and not args.replay:
+        from radiosonde_auto_rx_tpu.station.bandplan import (
+            BandPlan, BandScheduler)
+        plan = BandPlan(config)
+        if len(plan.segments) > 1:
+            scheduler = BandScheduler(
+                plan, scan_every=int(config.get("scan_every", 4)))
+            log.info("band plan: %d segments (%s MHz)", len(plan.segments),
+                     ", ".join("%.1f" % (s.center_hz / 1e6)
+                               for s in plan.segments))
+
     stop = {"flag": False}
 
     def _sigint(signum, frame):
@@ -233,12 +276,26 @@ def run_station(args, config) -> int:
     try:
         n_blocks = 0
         while True:
-            source = BlockSource(config, args)
+            start_hz = (plan.segments[0].center_hz if plan
+                        else args.center * 1e6)
+            source = BlockSource(config, args, center_hz=start_hz)
             got_any = False
-            for block in source.blocks():
+            while True:
                 if stop["flag"] or (deadline and time.time() > deadline):
                     break
+                seg = None
+                if scheduler is not None:
+                    tasked = list(station.active) + \
+                        list(station.manual_tasks)
+                    seg = scheduler.next_center(tasked,
+                                                station.scan_enabled)
+                    source.retune(seg.center_hz)
+                block = source.read_block()
+                if block is None:
+                    break
                 got_any = True
+                if seg is not None:
+                    station.center_freq = seg.center_hz
                 if forced_chan is not None:
                     from radiosonde_auto_rx_tpu.ops.channelizer import \
                         channelize

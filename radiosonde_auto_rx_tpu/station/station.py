@@ -87,15 +87,46 @@ CHAIN_TABLE = {
     # fsk_demod chain used mask=100000).  Needs a wideband station
     # (num_channels sized so fs_ch=240 kHz); resample 601/600 -> Ts=25.
     "MK2LMS": dict(rs=9616, est=110000, mask=100000, resample_to=240400),
+    # RS92-NGP: 1680 MHz RS92-D — same 4800 Bd Manchester frame as SGP but
+    # wider deviation (h~4.2 -> ~20 kHz tone spacing, reference
+    # rs92mod.c:1940-1941) and scrambled cal/PTU; decoded on a wideband
+    # (240 kHz) channel (reference scan.py:488-498 uses --bw 32 at 1680)
+    "RS92NGP": dict(rs=4800, est=32000, mask=20000, wide_fs=240000),
 }
 
 # detector type name -> models registry name
 MODEL_NAME = {"RD94RD41": "DROPSONDE", "IMET4": "IMET", "IMET1RS": "IMET",
-              "IMET1AB": "IMET"}
+              "IMET1AB": "IMET", "RS92NGP": "RS92"}
+
+
+class _BandProfile:
+    """Channelizer + detector geometry for one capture configuration.
+
+    The narrow profile carves the capture into 48 kHz sonde channels;
+    the wide profile (used above 1 GHz, reference scan.py:488-547 1680 MHz
+    mode) uses few wide channels for MK2LMS/RS92-NGP."""
+
+    def __init__(self, n_chan: int, fs_wide: int, wide: bool = False):
+        from radiosonde_auto_rx_tpu.detect.templates import \
+            WIDEBAND_TEMPLATES
+        self.n_chan = n_chan
+        self.fs_ch = fs_wide // n_chan
+        self.freqs = channel_freqs(n_chan, fs_wide)
+        self.pfb_taps = pfb_prototype(n_chan)
+        self.wide = wide
+        self.detector = SondeDetector(
+            self.fs_ch, specs=WIDEBAND_TEMPLATES if wide else None,
+            lband=wide)
 
 
 class Station:
-    """Batch station: wideband IQ blocks in, telemetry out."""
+    """Batch station: wideband IQ blocks in, telemetry out.
+
+    The capture center frequency is retunable per block
+    (``process_capture(block, center_freq_hz=...)``) so one station hops a
+    band plan covering ``min_freq..max_freq`` (reference scan.py retunes
+    rtl_power/dft_detect per pass, :413-656); task state is keyed by
+    absolute frequency so decoders survive retunes."""
 
     def __init__(self, config: dict | None = None, exporters=None,
                  center_freq_hz: float = 402.5e6):
@@ -104,25 +135,61 @@ class Station:
         self.center_freq = center_freq_hz
         self.fs_wide = int(self.config["capture_rate"])
         self.n_chan = int(self.config["num_channels"])
-        self.fs_ch = self.fs_wide // self.n_chan
-        self.freqs = channel_freqs(self.n_chan, self.fs_wide)
-        self.pfb_taps = pfb_prototype(self.n_chan)
-        self.detector = SondeDetector(self.fs_ch)
+        self._narrow = _BandProfile(self.n_chan, self.fs_wide)
+        self._wide = None            # built lazily for >1 GHz captures
         self.rt_filter = RealtimeVelocityFilter(self.config["max_velocity"])
         # task state (reference auto_rx.py task_list / temporary_block_list)
-        self.active = {}             # chan -> dict(type, decoder, last_ok)
+        self.active = {}             # freq_hz (int) -> dict(type, decoder, last_ok)
         self.temporary_blocks = {}   # freq_hz -> unblock time
         self.scan_results = []
         self.stats = dict(frames_ok=0, frames_filtered=0, detections=0)
         # web-control state (reference web.py control endpoints :445-661)
         self.scan_enabled = True
-        self.manual_tasks = {}       # chan -> forced type name
+        self.manual_tasks = {}       # freq_hz (int) -> forced type name
 
     # ------------------------------------------------------------------ #
 
+    def profile(self, center_freq_hz: float | None = None) -> _BandProfile:
+        """Channel geometry for a capture centered here: wide channels
+        above 1 GHz (1680 MHz band), narrow below."""
+        c = self.center_freq if center_freq_hz is None else center_freq_hz
+        if c < 1e9:
+            return self._narrow
+        if self._wide is None:
+            n_wide = int(self.config.get("num_channels_wide", 0)) or \
+                max(1, self.fs_wide // 240000)
+            self._wide = _BandProfile(n_wide, self.fs_wide, wide=True)
+        return self._wide
+
+    # back-compat accessors: geometry of the current center's profile
+    @property
+    def fs_ch(self):
+        return self.profile().fs_ch
+
+    @property
+    def freqs(self):
+        return self.profile().freqs
+
+    @property
+    def pfb_taps(self):
+        return self.profile().pfb_taps
+
+    @property
+    def detector(self):
+        return self.profile().detector
+
     def channel_of_freq(self, freq_hz: float) -> int:
+        prof = self.profile()
         rel = freq_hz - self.center_freq
-        return int(np.argmin(np.abs(self.freqs - rel)))
+        return int(np.argmin(np.abs(prof.freqs - rel)))
+
+    def freq_of_channel(self, ci: int) -> int:
+        """Absolute (task-key) frequency of channel ``ci`` in the current
+        profile."""
+        return int(round(self.center_freq + float(self.profile().freqs[ci])))
+
+    def in_capture(self, freq_hz: float) -> bool:
+        return abs(freq_hz - self.center_freq) <= self.fs_wide / 2
 
     def _blocked(self, freq_hz: float) -> bool:
         now = time.time()
@@ -145,13 +212,17 @@ class Station:
         return x.astype(jnp.float32)
 
     def scan(self, wideband_iq) -> list:
-        """PSD scan -> candidate channel indices
+        """PSD scan -> candidate channel indices in the current capture
         (reference scan.py sonde_search :948-1097; only_scan/always_scan
-        semantics from scan.py:1034-1097)."""
+        semantics from scan.py:1034-1097).  Configured frequencies outside
+        the current capture span are skipped — the band scheduler brings
+        their segment around."""
+        prof = self.profile()
         if self.config["only_scan"]:
             # whitelist mode: skip the PSD pass entirely
             chans = [self.channel_of_freq(f * 1e6)
-                     for f in self.config["only_scan"]]
+                     for f in self.config["only_scan"]
+                     if self.in_capture(f * 1e6)]
         else:
             planes = self._wide_planes(wideband_iq)
             pfreqs, psd = power_spectrum(planes[None], nfft=2048,
@@ -161,7 +232,7 @@ class Station:
                 psd, pfreqs,
                 snr_threshold=self.config["snr_threshold"],
                 min_distance_hz=self.config["min_distance"],
-                quantization_hz=self.fs_wide / self.n_chan,
+                quantization_hz=self.fs_wide / prof.n_chan,
                 never_scan=[f * 1e6 - self.center_freq
                             for f in self.config["never_scan"]])
             # latest scan for the web UI (reference scan.py:47-54
@@ -174,38 +245,58 @@ class Station:
                 "peak_freq": [(p + self.center_freq) / 1e6 for p in peaks],
                 "noise_floor": round(nf, 1),
             }
-            chans = sorted({int(np.argmin(np.abs(self.freqs - p)))
+            chans = sorted({int(np.argmin(np.abs(prof.freqs - p)))
                             for p in peaks})
             # always_scan frequencies join every detect pass
             for f_mhz in self.config["always_scan"]:
-                chans.append(self.channel_of_freq(f_mhz * 1e6))
+                if self.in_capture(f_mhz * 1e6):
+                    chans.append(self.channel_of_freq(f_mhz * 1e6))
         for f_mhz in self.config["always_decode"]:
-            chans.append(self.channel_of_freq(f_mhz * 1e6))
+            if self.in_capture(f_mhz * 1e6):
+                chans.append(self.channel_of_freq(f_mhz * 1e6))
         chans = [c for c in chans
-                 if not self._blocked(self.center_freq + self.freqs[c])]
+                 if not self._blocked(self.freq_of_channel(c))]
         return sorted(set(chans))[: self.config["max_peaks"]]
 
     # ------------------------------------------------------------------ #
 
-    def process_capture(self, wideband_iq) -> list:
+    def process_capture(self, wideband_iq, center_freq_hz=None) -> list:
         """One full cycle: scan -> detect -> demod -> decode -> export.
 
-        Returns the accepted telemetry dicts."""
+        ``center_freq_hz`` retunes the station for this block (band-plan
+        hopping; task state is frequency-keyed so decoders persist across
+        hops).  Returns the accepted telemetry dicts."""
+        if center_freq_hz is not None:
+            self.center_freq = float(center_freq_hz)
+        prof = self.profile()
         planes = self._wide_planes(wideband_iq)
         chans = self.scan(planes) if self.scan_enabled else []
-        chans = [c for c in chans if c not in self.manual_tasks]
-        ch = channelize(planes, self.n_chan, self.pfb_taps)
-        tasks = [(ci, name, None)
-                 for ci, name in self.manual_tasks.items()]
+        # manual tasks + known-active sondes within this capture re-decode
+        # every visit without needing a fresh detection
+        forced = {}                      # ci -> type name
+        for fz, name in self.manual_tasks.items():
+            if self.in_capture(fz):
+                forced[self.channel_of_freq(fz)] = name
+        for fz, st in self.active.items():
+            if self.in_capture(fz):
+                forced.setdefault(self.channel_of_freq(fz), st["type"])
+        chans = [c for c in chans if c not in forced]
+        ch = channelize(planes, prof.n_chan, prof.pfb_taps)
+        tasks = [(ci, name, None) for ci, name in forced.items()]
         if chans:
-            detections = self.detector.detect(ch[np.array(chans)])
+            detections = prof.detector.detect(ch[np.array(chans)])
             for ci, dets in zip(chans, detections):
                 if not dets:
                     continue
                 det = dets[0]
                 self.stats["detections"] += 1
-                if det.name in CHAIN_TABLE or det.name in MODEL_NAME:
-                    tasks.append((ci, det.name, det))
+                name = det.name
+                if prof.wide and name == "RS92":
+                    # an RS92 header at 1680 MHz is an RS92-NGP
+                    # (reference decode.py:948 starts rs92mod --ngp)
+                    name = "RS92NGP"
+                if name in CHAIN_TABLE or name in MODEL_NAME:
+                    tasks.append((ci, name, det))
         # group same-type channels into one batched demod call — the
         # channel batch IS the parallel axis, one device dispatch per type
         telemetry_out = []
@@ -224,20 +315,24 @@ class Station:
         # decode path (reference isolates decoder failures per-subprocess)
         if sonde_type not in CHAIN_TABLE and sonde_type not in MODEL_NAME:
             raise ValueError(f"unknown sonde type {sonde_type!r}")
-        ci = self.channel_of_freq(freq_hz)
-        self.manual_tasks[ci] = sonde_type
-        return ci
+        fz = int(round(freq_hz))
+        self.manual_tasks[fz] = sonde_type
+        return fz
 
     def stop_decoder(self, freq_hz: float, lockout_minutes: float = 0):
         """Stop any decoder on this frequency; optional temporary block
         (reference stop_decoder with lockout param)."""
-        ci = self.channel_of_freq(freq_hz)
-        self.manual_tasks.pop(ci, None)
-        self.active.pop(ci, None)
+        q = self.config["quantization"]
+        for fz in list(self.manual_tasks):
+            if abs(fz - freq_hz) <= q:
+                del self.manual_tasks[fz]
+        for fz in list(self.active):
+            if abs(fz - freq_hz) <= q:
+                del self.active[fz]
+        fz = int(round(freq_hz))
         if lockout_minutes > 0:
-            self.temporary_blocks[self.center_freq + self.freqs[ci]] = \
-                time.time() + lockout_minutes * 60
-        return ci
+            self.temporary_blocks[fz] = time.time() + lockout_minutes * 60
+        return fz
 
     def decode_channel(self, iq_ch, ci: int, name: str, det=None) -> list:
         """Demod + decode one channel known to carry type ``name``."""
@@ -288,29 +383,35 @@ class Station:
             if "ebno_db" in stats else None
         for j, (ci, det) in enumerate(items):
             real_ci = chan_map[ci] if chan_map else ci
+            fz = self.freq_of_channel(real_ci)
             try:
                 out.extend(self._decode_frames(
-                    real_ci, name, bits_b[j],
+                    fz, name, bits_b[j],
                     None if soft_b is None else soft_b[j],
                     None if ebno is None else float(ebno[j].max()), det))
             except Exception:
                 # one bad channel/decoder must not kill the capture loop
                 # (reference isolates each decoder in its own subprocess)
-                log.exception("decode failed on channel %d (%s)",
-                              real_ci, name)
+                log.exception("decode failed on %.3f MHz (%s)",
+                              fz / 1e6, name)
         return out
 
-    def _decode_frames(self, ci, name, bits, soft, snr_db, det) -> list:
-        """Host frame plane for one channel: decoder state, frame decode,
+    def _decode_frames(self, fz, name, bits, soft, snr_db, det) -> list:
+        """Host frame plane for one channel (task-keyed by absolute
+        frequency ``fz``): decoder state, frame decode,
         enrich/filter/export."""
         model_name = MODEL_NAME.get(name, name)
-        state = self.active.get(ci)
+        state = self.active.get(fz)
         # decoder is None after checkpoint resume: rebuild (decoders are
         # stateless by design and re-lock on the next block)
         if state is None or state["type"] != name or \
                 state.get("decoder") is None:
             decoder_cls = get_model(model_name)
             kwargs = {}
+            if name == "RS92NGP":
+                # 1680 MHz RS92-NGP: scrambled cal/PTU + frequency table
+                # offset (reference rs92mod.c --ngp :1803)
+                kwargs["ngp"] = True
             if model_name == "RS92":
                 # RS92 needs GPS ephemeris for its raw-pseudorange nav
                 # (reference decode.py:423-446)
@@ -324,10 +425,10 @@ class Station:
                     kwargs["ephemeris"] = eph
             state = dict(type=name, decoder=decoder_cls(**kwargs),
                          last_ok=0.0)
-            self.active[ci] = state
+            self.active[fz] = state
         decoder = state["decoder"]
 
-        freq_hz = self.center_freq + self.freqs[ci]
+        freq_hz = float(fz)
         raw_telems = decoder.decode_bits(
             bits, None if soft is None else -soft)
         out = []
@@ -337,11 +438,11 @@ class Station:
                 f_error=det.freq_offset if det else None,
                 station_code=self.config["station_code"])
             if t.get("encrypted") and self.config["close_on_encrypted"]:
-                self._drop_channel(ci, freq_hz, encrypted=True)
+                self._drop_channel(fz, encrypted=True)
                 break
             verdict = telemetry_filter(t, self.config)
             if verdict == "TempBlock":
-                self._drop_channel(ci, freq_hz)
+                self._drop_channel(fz)
                 break
             if verdict is not True and verdict != "OK":
                 self.stats["frames_filtered"] += 1
@@ -360,21 +461,20 @@ class Station:
                     log.exception("exporter error")
         return out
 
-    def _drop_channel(self, ci, freq_hz, encrypted=False):
-        self.active.pop(ci, None)
-        self.temporary_blocks[freq_hz] = time.time() + \
+    def _drop_channel(self, fz, encrypted=False):
+        self.active.pop(fz, None)
+        self.temporary_blocks[fz] = time.time() + \
             self.config["temporary_block_time"] * 60
         if encrypted:
-            log.warning("Encrypted sonde on %.3f MHz — blocked",
-                        freq_hz / 1e6)
+            log.warning("Encrypted sonde on %.3f MHz — blocked", fz / 1e6)
 
     def clean_task_list(self):
         """Reap idle decoders (reference auto_rx.py clean_task_list
         :422-537)."""
         now = time.time()
-        for ci in list(self.active):
-            if now - self.active[ci]["last_ok"] > self.config["rx_timeout"]:
-                self.active.pop(ci)
+        for fz in list(self.active):
+            if now - self.active[fz]["last_ok"] > self.config["rx_timeout"]:
+                self.active.pop(fz)
 
     def close(self):
         for e in self.exporters:

@@ -301,11 +301,9 @@ class WebServer:
     def task_list(self):
         if self.station is None:
             return {}
-        tasks = {str(ci): dict(type=st["type"],
-                               freq="%.3f MHz" % ((self.station.center_freq
-                                                   + self.station.freqs[ci])
-                                                  / 1e6))
-                 for ci, st in self.station.active.items()}
+        tasks = {str(fz): dict(type=st["type"],
+                               freq="%.3f MHz" % (fz / 1e6))
+                 for fz, st in self.station.active.items()}
         tasks["scanner"] = "Scanning" if getattr(
             self.station, "scan_enabled", True) else "Stopped"
         return tasks

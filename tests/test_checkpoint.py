@@ -50,13 +50,18 @@ def test_load_missing_and_garbage(tmp_path):
     assert not load_station_state(st, str(wrong))
 
 
-def test_center_freq_mismatch_rejected(tmp_path):
+def test_resume_survives_retune(tmp_path):
+    """Frequency-keyed task state loads regardless of the current capture
+    center (band-plan hopping retunes between blocks)."""
     st = _station()
+    fz = st.freq_of_channel(9)
+    st.active[fz] = dict(type="RS41", decoder=object(), last_ok=1.0)
     p = str(tmp_path / "st.ckpt")
     save_station_state(st, p)
     st2 = Station({"capture_rate": 2_400_000, "num_channels": 50},
                   exporters=[], center_freq_hz=403.0e6)
-    assert not load_station_state(st2, p)
+    assert load_station_state(st2, p)
+    assert st2.active[fz]["type"] == "RS41"
 
 
 def test_decode_after_resume(tmp_path, rng):
@@ -68,7 +73,8 @@ def test_decode_after_resume(tmp_path, rng):
                                                     frame_to_bits,
                                                     make_calibytes)
     st = _station()
-    st.active[5] = dict(type="RS41", decoder=object(), last_ok=0.0)
+    fz5 = st.freq_of_channel(5)
+    st.active[fz5] = dict(type="RS41", decoder=object(), last_ok=0.0)
     p = str(tmp_path / "st.ckpt")
     save_station_state(st, p)
     st2 = _station()
@@ -93,4 +99,4 @@ def test_decode_after_resume(tmp_path, rng):
     ch = jnp.asarray(np.stack([iq.real, iq.imag]).astype(np.float32))
     telems = st2.decode_channel(ch, 5, "RS41")
     assert telems and telems[-1]["id"] == "R7654321"
-    assert st2.active[5]["decoder"] is not None
+    assert st2.active[fz5]["decoder"] is not None

@@ -196,3 +196,37 @@ def test_m10_vs_m20_disambiguation():
         assert dets, f"no detection for {want}"
         assert dets[0].name == want, \
             f"got {dets[0].name}, want {want}"
+
+
+def test_imet_tone_disambiguation():
+    """The shared iMet AFSK preamble resolves to IMET4 by the 2200-Hz
+    tone-power check; 2400-Hz-dominant audio (iMet-1 AB) is dropped
+    (dft_detect.c:1542-1607)."""
+    from radiosonde_auto_rx_tpu.detect.correlator import _imet_subtype
+    fs = 48000
+    t = np.arange(fs) / fs
+    # Bell-202-ish audio: 1200 Hz mark + 2200 Hz space energy
+    audio = (np.sin(2 * np.pi * 1200 * t)
+             + 0.8 * np.sin(2 * np.pi * 2200 * t)).astype(np.float32)
+    assert _imet_subtype(audio, 0, fs) == "IMET4"
+    assert _imet_subtype(audio, 0, fs, wideband=True) == "IMET1RS"
+    # 2400 Hz dominant -> iMet-1 AB territory: dropped
+    audio_ab = (np.sin(2 * np.pi * 1200 * t)
+                + 0.8 * np.sin(2 * np.pi * 2400 * t)).astype(np.float32)
+    assert _imet_subtype(audio_ab, 0, fs) is None
+
+
+def test_rs41_not_misdetected_as_imet():
+    """Regression: RS41 GFSK payload content must not be claimed by the
+    iMet templates (the short IMET4/IMET1RS headers false-matched payload
+    until they were made redirect-only, dft_detect.c:1517-1518)."""
+    from radiosonde_auto_rx_tpu.detect.scanner import SondeDetector
+    rng = np.random.default_rng(3)
+    det = SondeDetector(48000)
+    for trial in range(6):
+        tx = rng.integers(0, 2, 4000).astype(np.uint8)
+        iq = add_awgn(gfsk_mod(tx, 48000, 4800, 2, 0.0, 4800, bt=0.5),
+                      20.0, 48000, 4800)
+        dets = det.detect(iq, max_det=0)
+        for d in dets:
+            assert not d.name.startswith("IMET"), (trial, d)

@@ -158,3 +158,84 @@ def test_full_chain_parity_vs_reference(tmp_path):
             if k == "version":
                 continue
             assert str(rt.get(k)) == str(m.get(k)), (t["frame"], k)
+
+
+def test_ecc3_erasure_search_beyond_rs_limit(rng):
+    """ECC3: with byte scores marking the corrupted bytes weakest, the
+    erasure search recovers a frame with 13 errors in one codeword —
+    one past the t=12 RS limit (rs41mod.c 3rd pass :1848-1943)."""
+    from radiosonde_auto_rx_tpu.models.rs41 import RS_MSGPOS
+    frame = _mkframe()
+    bad = _pad518(frame)
+    # 13 byte errors all in codeword 0 (even msg offsets)
+    pos = RS_MSGPOS + 2 * np.arange(4, 30, 2)[:13]
+    bad[pos] ^= rng.integers(1, 256, 13).astype(np.uint8)
+
+    ec0, _ = rs41_ecc(bad.copy(), NDATA_LEN)
+    assert ec0 < 0, "13 errors should defeat plain RS + known-byte pass"
+
+    scores = np.full(FRAME_LEN, 9.0)
+    scores[pos[:2]] = 0.1               # two weakest -> erasure candidates
+    ec, fixed = rs41_ecc(bad.copy(), NDATA_LEN, byte_scores=scores)
+    assert ec >= 0, "ECC3 erasure search failed"
+    np.testing.assert_array_equal(fixed[:NDATA_LEN], frame)
+
+
+def test_ecc3_bit_toggle(rng):
+    """ECC3 bit-toggle: 14 single-bit errors in one codeword decode when
+    the three weakest scores point at corrupted bytes (2 erasures + 1
+    toggled bit)."""
+    from radiosonde_auto_rx_tpu.models.rs41 import RS_MSGPOS
+    frame = _mkframe()
+    bad = _pad518(frame)
+    pos = RS_MSGPOS + 2 * np.arange(3, 31, 2)[:14]
+    bitidx = rng.integers(0, 8, 14)
+    bad[pos] ^= (1 << bitidx).astype(np.uint8)
+
+    ec0, _ = rs41_ecc(bad.copy(), NDATA_LEN)
+    assert ec0 < 0
+
+    scores = np.full(FRAME_LEN, 9.0)
+    scores[pos[0]] = 0.05               # weakest: bit-toggle candidate
+    scores[pos[1]] = 0.1                # erasures
+    scores[pos[2]] = 0.2
+    toggles = np.zeros(FRAME_LEN, np.uint8)
+    toggles[pos] = (1 << bitidx).astype(np.uint8)
+    ec, fixed = rs41_ecc(bad.copy(), NDATA_LEN, byte_scores=scores,
+                         bit_toggle=toggles)
+    assert ec >= 0, "ECC3 bit-toggle search failed"
+    np.testing.assert_array_equal(fixed[:NDATA_LEN], frame)
+
+
+def test_ecc4_known_byte_stuffing(rng):
+    """ECC4: a decoder with SondeID/cal history recovers a frame whose
+    corruption (14 errors in cw0, several in the ID/cal region) defeats
+    ECC2+ECC3 alone (rs41mod.c:1764-1845)."""
+    from radiosonde_auto_rx_tpu.models.rs41 import POS_SONDEID, POS_CALDATA
+    dec = RS41Decoder()
+    # prime history: one clean frame (id + calfr 0 collected)
+    assert dec.decode_frame(_pad518(_mkframe(0)), NDATA_LEN) is not None
+    assert dec.id == "S0930112" and dec.calfrchk[0]
+
+    frame = _mkframe(51)       # calfr 51 % 51 = 0 again, frame_nb 551
+    bad = _pad518(frame)
+    # corrupt the SondeID (4 even-offset bytes -> cw0) and cal bytes
+    # (8 even offsets), plus 4 more even msg bytes: 16 errors in cw0
+    idpos = POS_SONDEID + np.array([0, 2, 4, 6])
+    calpos = POS_CALDATA + 1 + np.array([1, 3, 5, 7, 9, 11, 13, 15])
+    extra = np.array([0x70, 0x90, 0xB0, 0xD0])
+    allpos = np.concatenate([idpos, calpos, extra])
+    cw0pos = allpos[allpos % 2 == 1]   # odd frame pos -> cw1? keep all:
+    bad[allpos] ^= rng.integers(1, 256, len(allpos)).astype(np.uint8)
+
+    scores = np.full(FRAME_LEN, 9.0)
+    scores[extra] = 0.1
+    toggles = np.zeros(FRAME_LEN, np.uint8)
+
+    ec0, _ = rs41_ecc(bad.copy(), NDATA_LEN, byte_scores=scores,
+                      bit_toggle=toggles)
+    dec._since_good = 51
+    t = dec.decode_frame(bad.copy(), NDATA_LEN, byte_scores=scores,
+                         bit_toggle=toggles)
+    assert t is not None, "ECC4 stuffing did not recover the frame"
+    assert t["id"] == "S0930112" and t["frame"] == 551

@@ -138,3 +138,65 @@ def test_parity_vs_reference(tmp_path, ephs):
     if "temp" in r:
         assert abs(r["temp"] - o["temp"]) < 0.2
         assert abs(r["humidity"] - o["humidity"]) < 0.2
+
+
+def test_ngp_full_cal_roundtrip(ephs):
+    """RS92-NGP: scrambled cal + PTU decode after full cal collection,
+    with the type auto-toggled from the 0x170 constant block
+    (rs92mod.c chk_toggle_type :342-365, xor_ptu :367-419)."""
+    cal = make_calibytes(ngp=True, freq_khz=1680000)
+    raw = encode_flight_bits(n_frames=32, ephs=ephs, calibytes=cal,
+                             ngp=True, lat=LAT, lon=LON, alt=ALT,
+                             T=-25.0, RH=45.0, P=320.0)
+    dec = RS92Decoder(ephemeris=ephs)     # ngp defaults False: auto-toggle
+    telems = dec.decode_bits(raw)
+    assert dec.cal_complete
+    assert dec.ngp, "NGP not auto-detected from cal constant block"
+    t = telems[-1]
+    assert t["subtype"] == "RS92-NGP"
+    assert abs(t["lat"] - LAT) < 5e-4
+    assert abs(t["temp"] + 25.0) < 0.2
+    assert abs(t["humidity"] - 45.0) < 0.2
+    assert abs(t["pressure"] - 320.0) < 0.5
+    # NGP frequency table: 1600 MHz base (rs92mod.c:757)
+    assert dec.freq_khz == 1680000
+
+
+def test_ngp_keystream_roundtrip():
+    """xcal_key recovers the exact keystream the encoder applied."""
+    from radiosonde_auto_rx_tpu.models.rs92 import xcal_key
+    key = np.arange(16, dtype=np.uint8) * 7 + 3
+    cal = make_calibytes(ngp=True, ngp_key=key, freq_khz=1680000)
+    assert np.array_equal(xcal_key(cal), key)
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference unavailable")
+def test_ngp_parity_vs_reference(tmp_path, ephs):
+    """The reference rs92mod --ngp decodes our synthesized NGP stream and
+    agrees with our decoder — evidence the scramble/byte-order model
+    matches the real protocol handling (rs92mod.c --ngp paths)."""
+    binp = oracle.binary("rs92mod")
+    if binp is None:
+        pytest.skip("could not build rs92mod")
+    rinex = str(tmp_path / "eph.txt")
+    gps_ephem.write_rinex_nav(ephs, rinex)
+    cal = make_calibytes(ngp=True, freq_khz=1680000)
+    raw = encode_flight_bits(n_frames=32, ephs=ephs, calibytes=cal,
+                             ngp=True, lat=LAT, lon=LON, alt=ALT,
+                             T=-25.0, RH=45.0, P=320.0)
+    soft, stream = _soft_stream(raw)
+    ref = oracle.run_json(
+        f"{binp} --ngp --ecc --crc --vel --ptu --json --softin -e {rinex}",
+        soft)
+    ours = RS92Decoder(ephemeris=ephs).decode_bits(stream)
+    assert ref, "reference produced no JSON"
+    assert ours, "our decoder produced no telemetry"
+    r, o = ref[-1], ours[-1]
+    assert r["id"] == o["id"]
+    assert r.get("subtype") == "RS92-NGP" == o["subtype"]
+    assert abs(r["lat"] - o["lat"]) < 2e-4
+    assert abs(r["lon"] - o["lon"]) < 2e-4
+    assert abs(r["alt"] - o["alt"]) < 60.0
+    if "temp" in r:
+        assert abs(r["temp"] - o["temp"]) < 0.2
+        assert abs(r["humidity"] - o["humidity"]) < 0.2

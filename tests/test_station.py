@@ -340,14 +340,14 @@ def test_encrypted_sonde_drops_and_blocks():
                              "%Y-%m-%dT%H:%M:%SZ"),
                          lat=0.0, lon=0.0, alt=1000.0, encrypted=True)]
 
-    st.active[4] = dict(type="RS41", decoder=FakeDecoder(), last_ok=0.0)
-    out = st._decode_frames(4, "RS41", np.zeros(100, np.uint8), None,
+    fz = st.freq_of_channel(4)
+    st.active[fz] = dict(type="RS41", decoder=FakeDecoder(), last_ok=0.0)
+    out = st._decode_frames(fz, "RS41", np.zeros(100, np.uint8), None,
                             10.0, None)
     assert out == []
-    assert 4 not in st.active, "channel not dropped"
+    assert fz not in st.active, "channel not dropped"
     assert st.temporary_blocks, "no temporary block added"
-    freq = st.center_freq + st.freqs[4]
-    assert st._blocked(freq)
+    assert st._blocked(fz)
 
 
 def test_clean_task_list_reaps_idle():
