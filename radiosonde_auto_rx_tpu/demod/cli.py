@@ -78,6 +78,9 @@ def run(args, stdin=None, stdout=None, stderr=None) -> int:
                     freq_est_type=1 if args.mask else 0)
     # stream in demod blocks: nmem window carried, advance nominal N/block.
     # One outer block = `chunk` demod blocks to amortize dispatch.
+    # The single-channel CLI keeps the plain scan: its ptr/tail streaming
+    # carries exact clock state across chunks (the gather-free buffered
+    # scan is the default on the batch/station/sharded perf paths).
     chunk = 8
     t_need = cfg.nmem + chunk * cfg.block_advance_max
     src = IQStreamSource(infile, fmt=fmt, block_samples=t_need)

@@ -463,7 +463,7 @@ def _fsk_demod_scan_buffered(cfg: FSKConfig, x: jnp.ndarray,
     identical to ``_fsk_demod_scan`` on the off0-shifted stream while the
     accumulated clock drift stays inside ±slack/2 (clamped with a
     re-lock glitch beyond — >800 ppm·s for the default slack).
-    Opt-in via ``fsk_demod_stream(..., buffered=True)``.
+    The default scan for ``fsk_demod_stream`` and the sharded pipeline.
     """
     half_ts = cfg.ts // 2
     slack = slack_ts * cfg.ts
@@ -474,7 +474,8 @@ def _fsk_demod_scan_buffered(cfg: FSKConfig, x: jnp.ndarray,
     # odd, so slack//2 itself need not be)
     n_steps = slack // half_ts
     off_max = n_steps * half_ts
-    off0 = jnp.full((C,), (n_steps // 2) * half_ts, jnp.int32)
+    # derived from x so the scan carry is device-varying under shard_map
+    off0 = (n_steps // 2) * half_ts + (x[:, 0, 0] * 0).astype(jnp.int32)
 
     def body(carry, b):
         buf, off, st = carry
@@ -507,16 +508,17 @@ def fsk_num_blocks_buffered(cfg: FSKConfig, t_samples: int,
 
 def fsk_demod_stream(cfg: FSKConfig, x: jnp.ndarray,
                      state: FSKState | None = None, probe: bool = False,
-                     buffered: bool = False):
+                     buffered: bool = True):
     """Demodulate IQ: complex64 [C, T] / [T], or float32 planes [C, 2, T].
 
     Returns (soft [C, total_bits], bits [C, total_bits], stats dict, state).
     Stats arrays are [C, n_blocks] (f_est is [C, n_blocks, M]).  With
     ``probe=True`` stats also carries the internal trajectories ``sf``
     [C, nb, ndft], ``timing`` [C, nb] and ``tmag`` [C, nb, M, nsym]
-    (see utils.probe — the modem_probe analogue).  ``buffered=True``
-    selects the gather-free rolling-buffer scan (+19% on a v5e; output
-    starts slack/2 samples later — frame decoders don't care).
+    (see utils.probe — the modem_probe analogue).  ``buffered`` (the
+    default) selects the gather-free rolling-buffer scan (+19% on a v5e;
+    output starts slack/2 samples later — frame decoders don't care);
+    ``buffered=False`` keeps the plain per-channel dynamic-slice scan.
     """
     squeeze = jnp.iscomplexobj(x) and x.ndim == 1
     x = iq_planes(x)

@@ -73,6 +73,40 @@ def telemetry_to_aprs_position(sonde_data, object_name="<id>",
     return out, _object_name.strip()
 
 
+def generate_station_object(callsign, lat, lon,
+                            comment="radiosonde_auto_rx SondeGate "
+                                    "v<version>",
+                            icon="/r", position_report=True):
+    """Station position beacon packet (reference aprs.py
+    generate_station_object :166-258)."""
+    from radiosonde_auto_rx_tpu import __version__
+    callsign = callsign[:9].ljust(9)
+    lat = float(lat)
+    lat_minute = abs(lat - int(lat)) * 60.0
+    lat_min_str = ("%02.4f" % lat_minute).zfill(7)[:5]
+    lat_str = "%02d%s%s" % (abs(int(lat)), lat_min_str,
+                            "N" if lat > 0 else "S")
+    lon = float(lon)
+    lon_minute = abs(lon - int(lon)) * 60.0
+    lon_min_str = ("%02.4f" % lon_minute).zfill(7)[:5]
+    lon_str = "%03d%s%s" % (abs(int(lon)), lon_min_str,
+                            "W" if lon < 0 else "E")
+    lat_prec = chr(int(round(float(("%02.4f" % lat_minute)[-2:]) / 1.10))
+                   + 33)
+    lon_prec = chr(int(round(float(("%02.4f" % lon_minute)[-2:]) / 1.10))
+                   + 33)
+    datum = "!w%s%s!" % (lat_prec, lon_prec)
+    comment = comment.replace("<version>", __version__)
+    if position_report:
+        # timestamp-less position report (APRS101 p.32), as the reference
+        # now emits for radiosondy.info compatibility
+        return "!%s%s%s%s%s %s" % (lat_str, icon[0], lon_str, icon[1],
+                                   comment, datum)
+    ts = time.strftime("%H%M%S", time.gmtime())
+    return ";%s*%sh%s%s%s%s%s %s" % (callsign, ts, lat_str, icon[0],
+                                     lon_str, icon[1], comment, datum)
+
+
 class APRSUploader:
     """Queue-fed APRS-IS uploader (network side is best-effort)."""
 
@@ -80,7 +114,17 @@ class APRSUploader:
                  server="radiosondy.info", port=14580,
                  object_name_override="<id>", object_comment="Radiosonde",
                  position_report=False, upload_rate=30,
-                 callsign_validity_threshold=5, start_thread=True):
+                 callsign_validity_threshold=5, start_thread=True,
+                 station_beacon=False, station_beacon_rate=30,
+                 station_beacon_position=(0.0, 0.0, 0.0),
+                 station_beacon_comment="radiosonde_auto_rx SondeGate "
+                                        "v<version>",
+                 station_beacon_icon="/r"):
+        self.station_beacon = dict(
+            enabled=station_beacon, rate=station_beacon_rate,
+            position=station_beacon_position,
+            comment=station_beacon_comment, icon=station_beacon_icon)
+        self._last_beacon = 0.0
         self.callsign = aprs_callsign
         self.passcode = aprs_passcode
         self.server = server
@@ -115,6 +159,28 @@ class APRSUploader:
                 if pkt:
                     self.upload_packet(pkt)
                 del self.latest[sid]
+            self.beacon_station_position()
+
+    def update_station_position(self, lat, lon, alt):
+        """GPSD hook (reference aprs.py:587-589)."""
+        self.station_beacon["position"] = (lat, lon, alt)
+
+    def beacon_station_position(self):
+        """Upload the station position beacon on its own cadence
+        (reference aprs.py beacon_station_position :560-585)."""
+        if not self.station_beacon["enabled"]:
+            return
+        if time.time() - self._last_beacon < \
+                self.station_beacon["rate"] * 60:
+            return
+        lat, lon = self.station_beacon["position"][:2]
+        self._last_beacon = time.time()
+        if lat == 0.0 and lon == 0.0:
+            return      # reference refuses to beacon a 0,0 position
+        pkt = generate_station_object(
+            self.callsign, lat, lon, self.station_beacon["comment"],
+            self.station_beacon["icon"], position_report=True)
+        self.upload_packet(pkt)
 
     def upload_packet(self, packet: str):
         """One login + packet to the igate (reference aprs.py:415-500)."""

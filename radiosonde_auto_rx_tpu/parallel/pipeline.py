@@ -24,7 +24,8 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from radiosonde_auto_rx_tpu.demod.fsk import (
-    FSKConfig, fsk_init_state, fsk_num_blocks, iq_planes, _fsk_demod_scan)
+    FSKConfig, fsk_init_state, fsk_num_blocks_buffered, iq_planes,
+    _fsk_demod_scan_buffered)
 from radiosonde_auto_rx_tpu.ops.fir import _conv_valid
 from radiosonde_auto_rx_tpu.parallel.halo import halo_exchange_left
 from radiosonde_auto_rx_tpu.parallel.mesh import CH_AXIS, T_AXIS
@@ -66,20 +67,25 @@ def sharded_fsk_demod(cfg: FSKConfig, mesh, x):
     (the reference tolerates repeated frames the same way after decoder
     restarts).  Shard 0's halo is zeros — identical to a fresh stream
     start.
+
+    Uses the gather-free buffered scan (the library default; +19% on a
+    v5e) — the halo includes the buffered scan's slack window so pure
+    channel sharding stays bit-identical to the unsharded demod.
     """
-    halo = cfg.nmem
+    slack = 8 * cfg.ts
+    halo = cfg.nmem + slack
 
     def body(xl):
         C_local, _, T_local = xl.shape
         xx = halo_exchange_left(xl, halo, T_AXIS)
-        nb = fsk_num_blocks(cfg, T_local + halo)
+        nb = fsk_num_blocks_buffered(cfg, T_local + halo)
         state = fsk_init_state(cfg, C_local)
         # scan carries must be marked device-varying inside shard_map
         if hasattr(jax.lax, "pcast"):
             state = jax.tree.map(
                 lambda a: jax.lax.pcast(a, (CH_AXIS, T_AXIS), to="varying"),
                 state)
-        _, outs = _fsk_demod_scan(cfg, xx, state, nb)
+        _, outs = _fsk_demod_scan_buffered(cfg, xx, state, nb)
         soft = jnp.transpose(outs["soft"], (1, 0, 2)).reshape(C_local, -1)
         bits = jnp.transpose(outs["bits"], (1, 0, 2)).reshape(C_local, -1)
         return soft, bits

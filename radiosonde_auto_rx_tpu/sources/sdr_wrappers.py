@@ -275,6 +275,31 @@ def get_power_spectrum(sdr_type: str, frequency_start: float,
         return read_rtl_power_log(log_file, get_sdr_name(sdr_type,
                                                          rtl_device_idx))
 
+    if sdr_type == "SpyServer":
+        # ss_power PSD sweep (reference sdr_wrappers.py:706-767); -o
+        # returns spectrum even when the requested centre is outside a
+        # locked SpyServer's tuning range
+        _freq_c = int(frequency_start
+                      + (frequency_stop - frequency_start) / 2.0)
+        _cmd = (f"{timeout_cmd()} {integration_time + 10} ss_power "
+                f"-f {_freq_c} -i {integration_time} -1 -o "
+                f"-r {sdr_hostname} -q {sdr_port} {log_file}")
+        try:
+            subprocess.check_output(_cmd, shell=True,
+                                    stderr=subprocess.STDOUT)
+        except subprocess.CalledProcessError as e:
+            out = e.output.decode("ascii", "replace")
+            if "outside currently allowed range" in out:
+                logging.critical(
+                    "Scanner - scan centre %d Hz outside the allowed "
+                    "SpyServer tuning range" % _freq_c)
+            else:
+                logging.error(f"Scanner - ss_power failed "
+                              f"({e.returncode}): {out}")
+            return None, None, None
+        return read_rtl_power_log(log_file, get_sdr_name(
+            sdr_type, sdr_hostname=sdr_hostname, sdr_port=sdr_port))
+
     if sdr_type == "KA9Q":
         _freq_c = (frequency_start + frequency_stop) / 2
         _n = int((frequency_stop - frequency_start) / step)

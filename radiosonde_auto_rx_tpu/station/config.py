@@ -22,6 +22,13 @@ def default_config() -> dict:
         "email_from": "sonde@localhost",
         "email_to": None,
         "email_subject": "<type> Sonde launch detected on <freq>: <id>",
+        "email_launch_notifications": True,
+        "email_landing_notifications": True,
+        "email_encrypted_sonde_notifications": True,
+        "email_nearby_landing_subject":
+            "Nearby Radiosonde Landing Detected - <id>",
+        "email_landing_range_threshold": 50,
+        "email_landing_altitude_threshold": 1000,
         # source
         "sdr_type": "WIDEBAND",        # reference: RTLSDR/SpyServer/KA9Q
         "sdr_hostname": "localhost",
@@ -87,6 +94,10 @@ def default_config() -> dict:
         "aprs_object_id": "<id>",
         "aprs_custom_comment": "Radiosonde Auto-RX <freq>",
         "aprs_position_report": False,
+        "station_beacon_enabled": False,
+        "station_beacon_rate": 30,
+        "station_beacon_comment": "radiosonde_auto_rx SondeGate v<version>",
+        "station_beacon_icon": "/r",
         # web
         "web_host": "0.0.0.0",
         "web_port": 5000,
@@ -129,7 +140,12 @@ _SECTIONS = {
     "email": ("email_enabled", "email_smtp_server", "email_smtp_port",
               "email_smtp_authentication", "email_smtp_login",
               "email_smtp_password", "email_from", "email_to",
-              "email_subject"),
+              "email_subject", "email_launch_notifications",
+              "email_landing_notifications",
+              "email_encrypted_sonde_notifications",
+              "email_nearby_landing_subject",
+              "email_landing_range_threshold",
+              "email_landing_altitude_threshold"),
     "search_params": ("min_freq", "max_freq", "min_freq2", "max_freq2",
                       "rx_timeout", "snr_threshold", "min_distance",
                       "quantization", "scan_every"),
@@ -141,7 +157,9 @@ _SECTIONS = {
                   "payload_id_valid"),
     "aprs": ("aprs_enabled", "aprs_upload_rate", "aprs_user", "aprs_pass",
              "aprs_server", "aprs_port", "aprs_object_id",
-             "aprs_custom_comment", "aprs_position_report"),
+             "aprs_custom_comment", "aprs_position_report",
+             "station_beacon_enabled", "station_beacon_rate",
+             "station_beacon_comment", "station_beacon_icon"),
     "web": ("web_host", "web_port", "web_archive_age", "web_control",
             "web_password"),
     "ozi": ("ozi_enabled", "ozi_update_rate", "ozi_host", "ozi_port",

@@ -95,7 +95,16 @@ def build_exporters(config, web_exporter=None):
             object_name_override=config["aprs_object_id"],
             object_comment=config["aprs_custom_comment"],
             upload_rate=config["aprs_upload_rate"],
-            position_report=config.get("aprs_position_report", False)))
+            position_report=config.get("aprs_position_report", False),
+            station_beacon=config.get("station_beacon_enabled", False),
+            station_beacon_rate=config.get("station_beacon_rate", 30),
+            station_beacon_position=(config["station_lat"],
+                                     config["station_lon"],
+                                     config["station_alt"]),
+            station_beacon_comment=config.get("station_beacon_comment",
+                                              "radiosonde_auto_rx "
+                                              "SondeGate v<version>"),
+            station_beacon_icon=config.get("station_beacon_icon", "/r")))
     if config.get("ozi_enabled") or config.get("payload_summary_enabled"):
         from radiosonde_auto_rx_tpu.exporters.ozimux import OziUploader
         exporters.append(OziUploader(
@@ -118,6 +127,19 @@ def build_exporters(config, web_exporter=None):
             mail_from=config["email_from"],
             mail_to=config["email_to"],
             mail_subject=config["email_subject"],
+            mail_nearby_landing_subject=config.get(
+                "email_nearby_landing_subject",
+                "Nearby Radiosonde Landing Detected - <id>"),
+            launch_notifications=config.get(
+                "email_launch_notifications", True),
+            landing_notifications=config.get(
+                "email_landing_notifications", True),
+            encrypted_sonde_notifications=config.get(
+                "email_encrypted_sonde_notifications", True),
+            landing_range_threshold=config.get(
+                "email_landing_range_threshold", 50),
+            landing_altitude_threshold=config.get(
+                "email_landing_altitude_threshold", 1000),
             station_position=(config["station_lat"], config["station_lon"],
                               config["station_alt"])))
     if config.get("enable_rotator"):

@@ -70,7 +70,11 @@ def test_cli_streaming_matches_batch(rng):
     cfg = FSKConfig(fs=48000, rs=4800, m=2, p=5, nsym=50,
                     est_min=-5000, est_max=5000, tone_spacing=5000,
                     freq_est_type=1)
-    _, bits_batch, _, _ = fsk_demod_stream(cfg, jnp.asarray(iq))
+    # the CLI streams the plain scan (its chunked ptr/tail bookkeeping
+    # carries exact clock state across chunks; the buffered scan is the
+    # default for the batch/station/sharded perf paths)
+    _, bits_batch, _, _ = fsk_demod_stream(cfg, jnp.asarray(iq),
+                                           buffered=False)
     bits_batch = np.asarray(bits_batch)
     out = io.BytesIO()
     args = cli.parse_args(["-p", "5", "--nsym", "50", "-b", "-5000",

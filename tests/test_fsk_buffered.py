@@ -71,3 +71,50 @@ def test_buffered_decodes_clean_ber(rng):
                 best = min(best, float(
                     np.mean(bits[ci, :n] != tx[ci][off:off + n])))
         assert best < 0.01, f"ch{ci} BER {best}"
+
+
+def test_buffered_drift_beyond_slack_relocks(rng):
+    """Adversarial clock drift: a sample-rate offset large enough to walk
+    the off pointer past the ±slack/2 clamp must DEGRADE GRACEFULLY —
+    the clamp causes a re-lock glitch, after which the BER recovers
+    (this is the promotion gate for making the buffered scan the
+    default: no silent corruption beyond the slack budget)."""
+    cfg = _cfg()
+    # ~2000 ppm clock offset: drift = 2e-3 * 48000 ≈ 96 samples/s;
+    # slack/2 = 40 samples is exhausted in <0.5 s of the 4 s stream.
+    # Generate at nominal 4800 Bd, then resample the waveform to model
+    # the sonde clock running fast.
+    ppm = 2000.0
+    T = 4 * 48000
+    bits = rng.integers(0, 2, T // 10 + 200)
+    iq0 = add_awgn(gfsk_mod(bits, 48000, 4800, 2, 0.0, 5000),
+                   16.0, 48000, 4800, rng=rng)
+    tt = np.arange(T) * (1 + ppm * 1e-6)
+    iq = (np.interp(tt, np.arange(len(iq0)), iq0.real)
+          + 1j * np.interp(tt, np.arange(len(iq0)), iq0.imag))
+    x = np.stack([iq.real, iq.imag])[None].astype(np.float32)
+
+    nb = fsk_num_blocks_buffered(cfg, T)
+    s0 = fsk_init_state(cfg, 1)
+    _, outs = _fsk_demod_scan_buffered(cfg, jnp.asarray(x), s0, nb)
+    got = np.asarray(outs["bits"]).transpose(1, 0, 2).reshape(1, -1)[0]
+
+    # per-block BER against the tx bits: find each block's best local
+    # alignment; early blocks must be clean, post-clamp blocks must
+    # RECOVER to clean within a few blocks of the glitch
+    nsym = cfg.nsym
+    bers = []
+    for b in range(nb):
+        run = got[b * nsym:(b + 1) * nsym]
+        best = 1.0
+        center = int(b * nsym * (1 + ppm * 1e-6))
+        for off in range(max(0, center - 60), center + 60):
+            seg = bits[off:off + nsym]
+            if len(seg) == nsym:
+                best = min(best, float(np.mean(run != seg)))
+        bers.append(best)
+    bers = np.array(bers)
+    assert bers[1] < 0.02, f"early block BER {bers[1]:.3f}"
+    # after the clamp point the demod must get back to a clean lock
+    assert bers[-2:].max() < 0.1, \
+        f"no re-lock after slack exhaustion: tail BERs {bers[-4:]}"

@@ -61,7 +61,8 @@ def test_channel_sharded_demod_exact(rng):
     cfg = _cfg()
     mesh = make_mesh(n_ch=8, n_t=1)
     tx, x = _signal(rng, 8, 48000)
-    xpad = np.concatenate([np.zeros((8, 2, cfg.nmem), np.float32), x],
+    halo = cfg.nmem + 8 * cfg.ts     # buffered-scan halo incl. slack
+    xpad = np.concatenate([np.zeros((8, 2, halo), np.float32), x],
                           axis=2)
     _, bits_ref, _, _ = fsk_demod_stream(cfg, jnp.asarray(xpad))
     xs = jax.device_put(jnp.asarray(x),

@@ -172,3 +172,28 @@ def test_demod_stats_from_stream_dict():
     trk.update_block(stats, channel=0, t0=0.0, block_period=3.0)
     assert trk.snr == pytest.approx(9.0)
     assert trk.fest_mean == pytest.approx(3400.0)
+
+
+def test_spyserver_power_cmd(monkeypatch, tmp_path):
+    """SpyServer PSD branch builds the reference ss_power command and
+    parses the CSV output (reference sdr_wrappers.py:706-767)."""
+    from radiosonde_auto_rx_tpu.sources import sdr_wrappers as sw
+    import subprocess as sp
+    seen = {}
+
+    def fake_check_output(cmd, shell=True, stderr=None):
+        seen["cmd"] = cmd
+        log = cmd.rsplit(" ", 1)[-1]
+        with open(log, "w") as f:
+            f.write("2024-01-01, 00:00:00, 400000000, 400002400, 800, 1, "
+                    "-20.0, -21.0, -22.0\n")
+        return b""
+
+    monkeypatch.setattr(sp, "check_output", fake_check_output)
+    freq, power, step = sw.get_power_spectrum(
+        "SpyServer", 400.0e6, 400.0024e6, step=800,
+        sdr_hostname="sshost", sdr_port=5555)
+    assert "ss_power" in seen["cmd"]
+    assert "-r sshost" in seen["cmd"] and "-q 5555" in seen["cmd"]
+    assert "-o" in seen["cmd"].split()
+    assert freq is not None and len(power) == 3

@@ -386,3 +386,69 @@ def test_station_dfm_full_cycle():
     assert t["id"] == "DFM-21031415"
     assert abs(t["lat"] - 47.37) < 1e-4
     assert st.active and list(st.active.values())[0]["type"] == "DFM"
+
+
+def test_aprs_station_beacon_packet():
+    """Station beacon packet format (reference aprs.py
+    generate_station_object :166-258) + cadence gating."""
+    from radiosonde_auto_rx_tpu.exporters.aprs import (APRSUploader,
+                                                       generate_station_object)
+    pkt = generate_station_object("N0CALL", -34.5, 138.6,
+                                  comment="gate v<version>", icon="/r")
+    assert pkt.startswith("!34")
+    assert "S/" in pkt and "E" in pkt and pkt.endswith("!")
+    assert "<version>" not in pkt
+
+    up = APRSUploader(start_thread=False, station_beacon=True,
+                      station_beacon_rate=30,
+                      station_beacon_position=(-34.5, 138.6, 50.0))
+    sent = []
+    up.upload_packet = lambda p: sent.append(p)
+    up.beacon_station_position()
+    assert len(sent) == 1
+    up.beacon_station_position()          # within cadence: no re-send
+    assert len(sent) == 1
+    # 0,0 position refused
+    up2 = APRSUploader(start_thread=False, station_beacon=True)
+    up2.upload_packet = lambda p: sent.append(p)
+    up2.beacon_station_position()
+    assert len(sent) == 1
+
+
+def test_email_nearby_landing_notification():
+    """Landing notification: ascent above threshold then sustained
+    descent below it within range triggers ONE nearby-landing e-mail
+    (reference email_notification.py:220-300)."""
+    import datetime
+    from radiosonde_auto_rx_tpu.exporters.email_notification import \
+        EmailNotification
+    en = EmailNotification(station_position=(-34.0, 138.6, 50.0),
+                           launch_notifications=False,
+                           landing_notifications=True,
+                           landing_descent_trip=3)
+    sent = []
+    en.send_notification_email = \
+        lambda msg, subject=None: sent.append((subject, msg))
+    t0 = datetime.datetime.now(datetime.timezone.utc)
+
+    def frame(i, alt):
+        return dict(id="S1234567", type="RS41", freq="401.5 MHz",
+                    lat=-34.01, lon=138.61, alt=alt,
+                    datetime_dt=t0 + datetime.timedelta(seconds=5 * i))
+
+    # ascent above the 1000 m threshold
+    for i, alt in enumerate([500, 1500, 3000, 5000]):
+        en.add(frame(i, alt))
+    assert not sent
+    # descend fast below threshold: the averaged ascent rate needs a few
+    # frames to turn negative, then 3-trip + 1 to fire
+    alts = [950 - 50 * j for j in range(10)]
+    for j, alt in enumerate(alts):
+        en.add(frame(10 + j, alt))
+    assert len(sent) == 1, "landing notification not sent"
+    subject, msg = sent[0]
+    assert "S1234567" in subject and "Nearby" in subject
+    assert "Range:" in msg and "sondehub.org" in msg
+    # no duplicates
+    en.add(frame(30, 400))
+    assert len(sent) == 1
