@@ -5,11 +5,14 @@ per-sonde CSV log through the exporter chain at real-time or accelerated
 speed, without any signal processing.
 """
 
+import logging
 import time
 
 from dateutil.parser import parse
 
 from radiosonde_auto_rx_tpu.web.log_files import read_log_file
+
+log = logging.getLogger(__name__)
 
 
 def replay_log_file(filename, exporters, speed: float = 0.0,
@@ -36,4 +39,7 @@ def replay_log_file(filename, exporters, speed: float = 0.0,
         prev_dt = dt
         for e in exporters:
             e.add(telemetry)
+        log.info("replay %s frame %d: %.5f, %.5f, %.1f m",
+                 telemetry["id"], i, telemetry["lat"], telemetry["lon"],
+                 telemetry["alt"])
     return n

@@ -416,9 +416,13 @@ def main(argv=None) -> int:
         exporters = build_exporters(config, wexp)
         web = None
         if not args.no_web:
+            from radiosonde_auto_rx_tpu.web.server import WebHandler
+            wh = WebHandler()
+            logging.getLogger().addHandler(wh)
             web = WebServer(web_exporter=wexp, config=config,
                             host=config.get("web_host", "0.0.0.0"),
-                            port=int(config.get("web_port", 5000)))
+                            port=int(config.get("web_port", 5000)),
+                            log_handler=wh)
             web.start()
             log.info("web server on port %d", web.port)
         try:

@@ -23,17 +23,25 @@ class WebHandler(logging.Handler):
     def __init__(self, max_lines: int = 500):
         super().__init__()
         self.lines = collections.deque(maxlen=max_lines)
+        self.total = 0               # lines ever seen (SSE cursor)
         self.setFormatter(logging.Formatter(
             "%(asctime)s %(levelname)s %(name)s: %(message)s"))
 
     def emit(self, record):
         try:
             self.lines.append(self.format(record))
+            self.total += 1
         except Exception:
             self.handleError(record)
 
     def tail(self, n: int = 100):
         return list(self.lines)[-n:]
+
+    def since(self, seen: int):
+        """(new lines after cursor ``seen``, new cursor)."""
+        lines = list(self.lines)
+        fresh = min(self.total - seen, len(lines))
+        return (lines[-fresh:] if fresh > 0 else []), self.total
 
 from radiosonde_auto_rx_tpu.utils.geometry import GenericTrack
 from radiosonde_auto_rx_tpu.utils.serial import short_type_lookup
@@ -43,12 +51,20 @@ MAX_AGE_DEFAULT = 120 * 60
 
 class WebExporter:
     """Exporter storing telemetry for the web routes (with derived
-    ascent rate / ground speed from a GenericTrack per sonde)."""
+    ascent rate / ground speed from a GenericTrack per sonde).
 
-    def __init__(self, max_age_minutes: int = 120):
+    Keeps a bounded per-sonde position history for the map view and a
+    monotonically increasing sequence number so the SSE stream can push
+    only what a client has not seen yet (the reference pushes each
+    telemetry frame over SocketIO, web.py:739-880)."""
+
+    def __init__(self, max_age_minutes: int = 120, history: int = 600):
         self.max_age = max_age_minutes * 60
         self.telemetry = {}          # id -> latest enriched telemetry
         self.tracks = {}             # id -> GenericTrack
+        self.history = {}            # id -> [[lat, lon, alt], ...]
+        self.history_max = history
+        self.seq = 0                 # bumped on every add()
         self.lock = threading.Lock()
 
     def add(self, telemetry: dict):
@@ -68,7 +84,14 @@ class WebExporter:
                     t["time_to_landing"] = state["time_to_landing"]
             t["age"] = time.time()
             t["type_name"] = short_type_lookup(telemetry["type"])
+            self.seq += 1
+            t["seq"] = self.seq
             self.telemetry[sid] = t
+            h = self.history.setdefault(sid, [])
+            h.append([round(telemetry["lat"], 5),
+                      round(telemetry["lon"], 5),
+                      round(telemetry["alt"], 1)])
+            del h[:-self.history_max]
 
     def archive(self):
         with self.lock:
@@ -77,7 +100,18 @@ class WebExporter:
                 if now - self.telemetry[sid]["age"] > self.max_age:
                     del self.telemetry[sid]
                     self.tracks.pop(sid, None)
+                    self.history.pop(sid, None)
             return dict(self.telemetry)
+
+    def updates_since(self, seq: int):
+        """Telemetry entries newer than ``seq`` (for the SSE push)."""
+        with self.lock:
+            return {sid: t for sid, t in self.telemetry.items()
+                    if t.get("seq", 0) > seq}, self.seq
+
+    def track_history(self):
+        with self.lock:
+            return {sid: list(h) for sid, h in self.history.items()}
 
     def close(self):
         pass
@@ -104,6 +138,18 @@ def telemetry_to_kml(telemetry_map: dict) -> str:
     return ('<?xml version="1.0" encoding="UTF-8"?>\n'
             '<kml xmlns="http://www.opengis.net/kml/2.2"><Document>'
             + "".join(placemarks) + "\n</Document></kml>\n")
+
+
+def _load_index() -> bytes:
+    """The operator UI (web/static/index.html) — falls back to the
+    embedded minimal status page if the asset is missing."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "static", "index.html")
+    try:
+        with open(path, "rb") as f:
+            return f.read()
+    except OSError:
+        return _INDEX_HTML.encode()
 
 
 _INDEX_HTML = """<!DOCTYPE html>
@@ -142,6 +188,7 @@ class WebServer:
         self.web_exporter = web_exporter or WebExporter()
         self.config = config or {}
         self.log_handler = log_handler
+        self._closing = False
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -159,7 +206,12 @@ class WebServer:
             def do_GET(self):
                 path = urlparse(self.path).path
                 if path in ("/", "/index.html"):
-                    self._send(_INDEX_HTML, "text/html")
+                    self._send(_load_index(), "text/html")
+                elif path == "/events":
+                    self._sse()
+                elif path == "/get_track_history":
+                    self._send(json.dumps(
+                        outer.web_exporter.track_history()))
                 elif path == "/get_version":
                     from radiosonde_auto_rx_tpu import __version__
                     self._send(json.dumps({"version": __version__}))
@@ -259,6 +311,49 @@ class WebServer:
                 except (KeyError, ValueError) as e:
                     self._send(json.dumps({"error": str(e)}), code=400)
 
+            # -- live push (server-sent events) ------------------------- #
+
+            def _sse(self):
+                """Live telemetry/scan/log push over one long-lived HTTP
+                connection (the reference pushes the same events via
+                SocketIO, web.py:85-144,718-880)."""
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+
+                def emit(event, data):
+                    self.wfile.write(
+                        (f"event: {event}\ndata: "
+                         f"{json.dumps(data, default=str)}\n\n").encode())
+                    self.wfile.flush()
+
+                t_seq = 0
+                log_seen = 0
+                scan_ts = None
+                try:
+                    emit("hello", {"ok": True})
+                    while not outer._closing:
+                        telems, t_seq = \
+                            outer.web_exporter.updates_since(t_seq)
+                        if telems:
+                            emit("telemetry", telems)
+                        if outer.log_handler is not None:
+                            lines, log_seen = \
+                                outer.log_handler.since(log_seen)
+                            if lines:
+                                emit("log", {"log_lines": lines})
+                        sd = outer.scan_data().get("latest_scan") or {}
+                        ts = sd.get("timestamp") if isinstance(sd, dict) \
+                            else None
+                        if ts is not None and ts != scan_ts:
+                            scan_ts = ts
+                            emit("scan", sd)
+                        emit("status", outer.station_stats())
+                        time.sleep(1.0)
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    return
+
             # -- helpers ------------------------------------------------ #
 
             def _qs(self):
@@ -330,6 +425,7 @@ class WebServer:
         self._thread.start()
 
     def close(self):
+        self._closing = True
         self._server.shutdown()
         if self._thread:
             self._thread.join(timeout=2)

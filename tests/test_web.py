@@ -288,6 +288,81 @@ def test_log_lines_route(tmp_path):
         lg.removeHandler(wh)
 
 
+def test_index_is_operator_ui(tmp_path):
+    """/ serves the full operator UI asset (map + SSE wiring), not the
+    fallback status stub."""
+    web = _spin_server(tmp_path)
+    try:
+        code, body = _get(web.port, "/")
+        assert code == 200
+        page = body.decode()
+        assert "EventSource" in page          # live push wiring
+        assert 'id="map"' in page             # map canvas
+        assert 'id="spectrum"' in page        # scan spectrum canvas
+        assert "get_skewt_data" in page       # historical Skew-T view
+    finally:
+        web.close()
+
+
+def test_track_history_route(tmp_path):
+    wex = WebExporter()
+    for i in range(4):
+        wex.add(_telem(i))
+    web = WebServer(web_exporter=wex,
+                    config={"log_directory": str(tmp_path)},
+                    host="127.0.0.1", port=0)
+    web.start()
+    try:
+        code, body = _get(web.port, "/get_track_history")
+        assert code == 200
+        h = json.loads(body)
+        assert len(h["S7654321"]) == 4
+        lat, lon, alt = h["S7654321"][-1]
+        assert abs(lat - (-34.0 + 0.003)) < 1e-6 and alt == 5150.0
+    finally:
+        web.close()
+
+
+def test_sse_stream(tmp_path):
+    """The /events SSE stream pushes telemetry, log lines and status."""
+    import logging
+    from radiosonde_auto_rx_tpu.web.server import WebHandler
+    wh = WebHandler()
+    lg = logging.getLogger("ssetest")
+    lg.addHandler(wh)
+    lg.setLevel(logging.INFO)
+    wex = WebExporter()
+    wex.add(_telem(0))
+    lg.info("hello from the station")
+    web = WebServer(web_exporter=wex,
+                    config={"log_directory": str(tmp_path)},
+                    host="127.0.0.1", port=0, log_handler=wh)
+    web.start()
+    try:
+        r = urllib.request.urlopen(
+            f"http://127.0.0.1:{web.port}/events", timeout=10)
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        events = {}
+        deadline = time.time() + 10
+        while time.time() < deadline and not (
+                "telemetry" in events and "log" in events
+                and "status" in events):
+            line = r.readline().decode().strip()
+            if line.startswith("event: "):
+                ev = line[7:]
+                data = r.readline().decode().strip()
+                assert data.startswith("data: ")
+                events[ev] = json.loads(data[6:])
+        assert "S7654321" in events["telemetry"]
+        assert any("hello from the station" in ln
+                   for ln in events["log"]["log_lines"])
+        assert "version" in events["status"]
+        r.close()
+    finally:
+        web.close()
+        lg.removeHandler(wh)
+
+
 def test_station_stats_route(tmp_path):
     import json
     st = _StubStation()
