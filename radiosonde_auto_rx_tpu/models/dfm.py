@@ -474,31 +474,46 @@ def fl24_encode(f, p=4):
 def encode_flight_bits(sn=21012345, lat=51.3, lon=6.88, alt=10000.0,
                        vel_h=5.2, heading=180.0, vel_v=-3.5,
                        date=(2018, 6, 1, 12, 30, 15.0), n_cycles=3,
-                       meas=None):
+                       meas=None, time_step=0.0):
     """Raw Manchester bit stream for a DFM-09 flight segment: cycles of
-    frames covering conf channels 0..6 and dat packets 0..8."""
+    frames covering conf channels 0..6 and dat packets 0..8.
+
+    ``time_step`` (seconds) advances the GPS date by that much per cycle
+    so each cycle carries a distinct timestamp — a real sonde ticks 1 s
+    per cycle; the PER harness needs distinct frame identities."""
     if meas is None:
         # f=meas[0], f1=meas[3], f2=meas[4]: R=(f-f1)*Rf/f2 ≈ 13968 Ω
         # = R25·2.7936 → T ≈ 0 C with Rf=220k (dfm09mod.c get_Temp)
         meas = [1317.45, 900.0, 2000.0, 1000.0, 5000.0,
                 3.0, 2500.0, 7.0, 9.0]
+    import datetime as _dt
     yy, mm, dd, hh, mi, sek = date
-    msek = int(sek * 1000)
-    dats = {
-        0: (2 << 24) | (7 << 16),                     # mode=2, frnr=7
-        1: (0xFF << 16) | msek,                       # prn bitmap | msek
-        2: ((int(lat * 1e7) & 0xFFFFFFFF) << 16) |
-           (int(vel_h * 100) & 0xFFFF),
-        3: ((int(lon * 1e7) & 0xFFFFFFFF) << 16) |
-           (int(heading * 100) & 0xFFFF),
-        4: ((int(alt * 100) & 0xFFFFFFFF) << 16) |
-           (int(vel_v * 100) & 0xFFFF),
-        5: 0,
-        6: 0,
-        7: 0,
-        8: (yy << 36) | (mm << 32) | (dd << 27) | (hh << 22) | (mi << 16) |
-           (8 << 8),                                   # nSV=8
-    }
+
+    def _dats(cyc):
+        t = (_dt.datetime(yy, mm, dd, hh, mi) +
+             _dt.timedelta(seconds=sek + cyc * time_step))
+        msek = int((t.second + t.microsecond / 1e6) * 1000)
+        # frnr is the sonde's 1 Hz frame counter; dfm09mod only emits
+        # JSON while (sec_gps % 256 - frnr) stays constant frame-to-
+        # frame (dfm09mod.c:941-950), so tick it with GPS time.
+        wk, tow = datetime2gpsweek(t.year, t.month, t.day, t.hour,
+                                   t.minute, int(t.second))
+        frnr = (wk * 604800 + tow) & 0xFF
+        return {
+            0: (2 << 24) | (frnr << 16),              # mode=2
+            1: (0xFF << 16) | msek,                   # prn bitmap | msek
+            2: ((int(lat * 1e7) & 0xFFFFFFFF) << 16) |
+               (int(vel_h * 100) & 0xFFFF),
+            3: ((int(lon * 1e7) & 0xFFFFFFFF) << 16) |
+               (int(heading * 100) & 0xFFFF),
+            4: ((int(alt * 100) & 0xFFFFFFFF) << 16) |
+               (int(vel_v * 100) & 0xFFFF),
+            5: 0,
+            6: 0,
+            7: 0,
+            8: (t.year << 36) | (t.month << 32) | (t.day << 27) |
+               (t.hour << 22) | (t.minute << 16) | (8 << 8),  # nSV=8
+        }
     sn_hi, sn_lo = (sn >> 16) & 0xFFFF, sn & 0xFFFF
     # DFM-09 (STM32): meas channels 0..8, SN in channel 0xA as two 16-bit
     # halves marked 0xAC....[hl] (dfm09mod.c:747-801)
@@ -508,7 +523,8 @@ def encode_flight_bits(sn=21012345, lat=51.3, lon=6.88, alt=10000.0,
 
     frames = []
     ci = 0
-    for _ in range(n_cycles):
+    for cyc in range(n_cycles):
+        dats = _dats(cyc)
         dat_ids = list(range(0, 9))
         while dat_ids:
             d1 = dat_ids.pop(0)

@@ -171,19 +171,25 @@ class MeiseiDecoder:
         raw_bits = np.asarray(raw_bits, dtype=np.uint8)
         out = []
         nraw = 2 * (FRAME_BITS - HEADLEN)
-        # biphase-S is level-polarity invariant: search both polarities
+        # biphase-S is level-polarity invariant: search both polarities.
+        # The starting level alternates frame-to-frame with the stream's
+        # running level, so merge both polarities' hits and decode in
+        # STREAM order — the iMS-100 emitter pairs an even frame with
+        # the following odd frame and is stateful across frames.
+        starts = []
         for hdr in (RAW_HEADER,
                     "".join("1" if c == "0" else "0" for c in RAW_HEADER)):
-            for s in find_frame_starts(raw_bits, hdr, max_errors=3):
-                raw = raw_bits[s:s + nraw]
-                if len(raw) < nraw:
-                    continue
-                bits = np.concatenate([
-                    np.array([int(c) for c in HEADER_049DCE],
-                             dtype=np.uint8),
-                    biphase_s_decode(raw)])
-                t = self.decode_frame(bits[:FRAME_BITS])
-                out.extend(t)
+            starts.extend(find_frame_starts(raw_bits, hdr, max_errors=3))
+        for s in sorted(set(starts)):
+            raw = raw_bits[s:s + nraw]
+            if len(raw) < nraw:
+                continue
+            bits = np.concatenate([
+                np.array([int(c) for c in HEADER_049DCE],
+                         dtype=np.uint8),
+                biphase_s_decode(raw)])
+            t = self.decode_frame(bits[:FRAME_BITS])
+            out.extend(t)
         return out
 
     # ------------------------------------------------------------------ #

@@ -1,24 +1,40 @@
-"""PER-vs-Eb/N0 regression harness.
+"""Comparative PER-vs-Eb/N0 harness: TPU chain vs the reference C chain.
 
 The reference's ground truth is *decoded packet counts versus calibrated
-Eb/N0*, not unit assertions (reference auto_rx/test/generate_lowsnr.py:
-AWGN calibrated per baud rate, 5-20 dB in 0.5 dB steps; test_demod.py:
-chain -> packet count CSV).  This module is that harness without the
-recorded-capture dependency: frames come from the model encoders, the
-modulator is the same GFSK synth the e2e tests use, and the chain under
-test is the production demod + decoder pair.
+Eb/N0* (reference auto_rx/test/generate_lowsnr.py: AWGN calibrated per
+baud rate, 5-20 dB in 0.5 dB steps; test_demod.py:751-828: chain ->
+packet count CSV).  This module is that harness with two upgrades the
+round-1 version lacked:
+
+* **Exact TX/RX accounting.**  Every transmitted frame carries a unique
+  identity (its ``frame`` field — all five decoders, ours and the
+  reference's, emit it), and PER counts ``|tx_ids - rx_ids|`` instead of
+  unique-telemetry-count heuristics.  A fixed number of *warmup* frames
+  precedes the counted window (demod convergence, DFM serial-number
+  confirmation, RS92 cal assembly) and is excluded from both sides.
+
+* **A reference overlay on the identical stream.**  When the reference
+  tree and a C compiler are available (tests/oracle.py builds the
+  binaries out-of-tree in /tmp), the *same* noisy IQ is written as CS16
+  and piped through ``fsk_demod | <decoder>`` with the production flags
+  from reference auto_rx/autorx/decode.py, giving a TPU-vs-reference PER
+  overlay per Eb/N0 point.
 
 CLI::
 
     python -m radiosonde_auto_rx_tpu.tools.per_harness \
-        --type RS41 --ebno 6:14:1 --frames 10 -o results.csv
+        --type RS41 --ebno 5:20:0.5 --frames 100 -o results.csv
 
-Output CSV: ``type,ebno_db,frames_tx,frames_rx,per,runtime_s`` — the
-same quantities the reference logs per file (test_demod.py:751-828).
+Output CSV: ``type,chain,ebno_db,frames_tx,frames_rx,per,runtime_s``
+with ``chain`` in {tpu, ref}.
 """
 
 import argparse
+import dataclasses
+import datetime
+import os
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -27,133 +43,298 @@ from radiosonde_auto_rx_tpu.demod import FSKConfig, fsk_demod_stream
 from radiosonde_auto_rx_tpu.demod.modulate import add_awgn, gfsk_mod
 
 
-def _rs41_case(n_frames, rng):
-    import datetime
+def _oracle():
+    """The reference-binary builder (tests/oracle.py) if importable and
+    the reference tree is present; else None (TPU-only sweeps)."""
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))))
+        from tests import oracle
+        return oracle if oracle.available() else None
+    except ImportError:
+        return None
+
+
+def _gps_now_plus(i_sec: float = 0.0):
+    now = datetime.datetime.now(datetime.timezone.utc) + \
+        datetime.timedelta(seconds=i_sec)
+    week = (now - datetime.datetime(1980, 1, 6,
+                                    tzinfo=datetime.timezone.utc)).days // 7
+    dow = (now.weekday() + 1) % 7
+    tow_ms = (((dow * 24 + now.hour) * 3600 + now.minute * 60 +
+               now.second) * 1000)
+    return week, tow_ms
+
+
+@dataclasses.dataclass
+class Case:
+    """One sonde-type PER scenario: TX bits + both decode chains."""
+    tx_bits: np.ndarray          # on-air bits incl. warmup frames
+    fs: int
+    rs: int
+    spacing: float
+    bt: float
+    cfg: FSKConfig
+    decode: callable             # (bits, soft) -> telemetry dicts (ours)
+    tx_ids: set                  # counted frame identities (no warmup)
+    ref_cmd: callable = None     # (oracle, iq_path) -> shell pipeline
+    idle_run: int = 1            # idle = runs of this many 1s then 0s
+
+
+# Warmup frames per type: demod freq/timing convergence plus decoder
+# state acquisition (DFM: the serial number arrives on conf channel 0xA
+# as two halves once per 11-frame conf cycle and must be confirmed
+# before telemetry is emitted, dfm09mod.c:747-801 — ~5 cycles covers
+# two sightings of both halves under noise).
+WARMUP = {"RS41": 1, "DFM": 5, "M10": 1, "LMS6": 1, "RS92": 2,
+          "MEISEI": 1}
+
+
+def _idle(n, run=1):
+    """Clock-rich idle: alternating runs of `run` ones then `run`
+    zeros.  run=1 (bit-rate alternation) suits tone-masked estimators
+    (RS41-style); unmasked peak-picking estimators (M10's chain, ours
+    and the reference's alike) need run>=4 so the idle keeps spectral
+    energy AT the tones rather than in alternation sidebands."""
+    unit = np.concatenate([np.ones(run, np.uint8), np.zeros(run, np.uint8)])
+    return np.tile(unit, n // (2 * run) + 1)[:n]
+
+
+def _slot(frame_bits, rs, run=1):
+    """Pad one frame's bits to a 1-second on-air slot with clock-rich
+    idle, the real sondes' 1 Hz cadence.  Back-to-back frames are not
+    just unrealistic — the reference decoders read a fixed frame window
+    after each header and would swallow the next header."""
+    gap = rs - len(frame_bits)
+    if gap <= 0:
+        return frame_bits
+    return np.concatenate([frame_bits, _idle(gap, run)])
+
+
+def _rs41_case(n_frames, rng, workdir):
     from radiosonde_auto_rx_tpu.models.rs41 import (RS41Decoder,
                                                     encode_frame,
                                                     frame_to_bits,
                                                     make_calibytes)
-    now = datetime.datetime.now(datetime.timezone.utc)
-    week = (now - datetime.datetime(1980, 1, 6,
-                                    tzinfo=datetime.timezone.utc)).days // 7
-    dow = (now.weekday() + 1) % 7
-    tow = ((dow * 24 + now.hour) * 3600 + now.minute * 60 +
-           now.second) * 1000
+    week, tow = _gps_now_plus()
     cal = make_calibytes()
-    bits = np.concatenate([frame_to_bits(encode_frame(
+    w = WARMUP["RS41"]
+    bits = np.concatenate([_slot(frame_to_bits(encode_frame(
         frame_nb=100 + i, sonde_id="P1234567", week=week,
         tow_ms=tow + i * 1000, lat=47.5, lon=15.2, alt=12000.0,
-        calibytes=cal, calfr=i % 51)) for i in range(n_frames)])
+        calibytes=cal, calfr=i % 51)), 4800) for i in range(n_frames + w)])
     cfg = FSKConfig(fs=48000, rs=4800, m=2, p=5, nsym=300,
                     est_min=-5000, est_max=5000, tone_spacing=5000,
                     freq_est_type=1)
     dec = RS41Decoder()
-    return bits, 48000, 4800, 4800, cfg, \
-        lambda b, s: dec.decode_bits(b), 0.5
+    # production chain: reference decode.py:901 + :920
+    ref = lambda o, iq: (
+        f"{o.binary('fsk_demod')} --cs16 -b -5000 -u 5000 -s --mask 5000 "
+        f"--nsym=300 -p 5 2 48000 4800 {iq} - 2>/dev/null | "
+        f"{o.binary('rs41mod')} --ptu2 --json --softin -i --ecc2 "
+        f"2>/dev/null")
+    return Case(bits, 48000, 4800, 4800, 0.5, cfg,
+                lambda b, s: dec.decode_bits(b),
+                set(range(100 + w, 100 + w + n_frames)), ref)
 
 
-def _dfm_case(n_frames, rng):
-    from radiosonde_auto_rx_tpu.models.dfm import DFMDecoder, \
-        encode_flight_bits
+def _dfm_case(n_frames, rng, workdir):
+    from radiosonde_auto_rx_tpu.models.dfm import (DFMDecoder,
+                                                   datetime2gpsweek,
+                                                   encode_flight_bits)
+    w = WARMUP["DFM"]
+    date = (2024, 6, 1, 12, 30, 15.0)
     bits = encode_flight_bits(sn=21098765, lat=48.1, lon=11.5,
-                              n_cycles=n_frames)
+                              n_cycles=n_frames + w, date=date,
+                              time_step=1.0)
+    ids = set()
+    for c in range(w, n_frames + w):
+        t = (datetime.datetime(*date[:5]) +
+             datetime.timedelta(seconds=date[5] + c))
+        wk, tow = datetime2gpsweek(t.year, t.month, t.day, t.hour,
+                                   t.minute, int(t.second + 0.5))
+        ids.add(wk * 604800 + tow)
     cfg = FSKConfig(fs=50000, rs=2500, m=2, p=10, nsym=125,
                     est_min=-5000, est_max=5000)
     dec = DFMDecoder()
-    return bits, 50000, 2500, 5000, cfg, \
-        lambda b, s: dec.decode_bits(b, None if s is None else -s), 0.5
+    # production chain: reference decode.py:1067 + :1081
+    ref = lambda o, iq: (
+        f"{o.binary('fsk_demod')} --cs16 -b -5000 -u 5000 -s "
+        f"2 50000 2500 {iq} - 2>/dev/null | "
+        f"{o.binary('dfm09mod')} -vv --ecc --json --dist --auto --softin "
+        f"2>/dev/null")
+    return Case(bits, 50000, 2500, 5000, 0.5, cfg,
+                lambda b, s: dec.decode_bits(b, None if s is None else -s),
+                ids, ref)
 
 
-def _m10_case(n_frames, rng):
-    import datetime
+def _m10_case(n_frames, rng, workdir):
     from radiosonde_auto_rx_tpu.models.m10 import (M10Decoder,
                                                    encode_frame_m10,
                                                    frame_to_raw_bits)
-    now = datetime.datetime.now(datetime.timezone.utc)
-    week = (now - datetime.datetime(1980, 1, 6,
-                                    tzinfo=datetime.timezone.utc)).days // 7
-    dow = (now.weekday() + 1) % 7
-    tow = ((dow * 24 + now.hour) * 3600 + now.minute * 60 +
-           now.second) * 1000
-    bits = np.concatenate([frame_to_raw_bits(encode_frame_m10(
+    week, tow = _gps_now_plus()
+    w = WARMUP["M10"]
+    bits = np.concatenate([_slot(frame_to_raw_bits(encode_frame_m10(
         week=week, tow_ms=tow + i * 1000, lat=48.2, lon=16.4,
-        alt=11000.0)) for i in range(n_frames)])
+        alt=11000.0)), 9616, run=8) for i in range(n_frames + w)])
+    ids = {int(week * 604800 + (tow + i * 1000) / 1e3 + 0.5)
+           for i in range(w, n_frames + w)}
     cfg = FSKConfig(fs=48080, rs=9616, m=2, p=5, nsym=240,
                     est_min=-10000, est_max=10000)
     dec = M10Decoder()
-    return bits, 48080, 9616, 10000, cfg, \
-        lambda b, s: dec.decode_bits(b, None if s is None else -s), 1.0
+    # production chain: reference decode.py:1120 + :1125
+    ref = lambda o, iq: (
+        f"{o.binary('fsk_demod')} --cs16 -b -10000 -u 10000 -s -p 5 "
+        f"2 48080 9616 {iq} - 2>/dev/null | "
+        f"{o.binary('m10mod')} --json --ptu -vvv --softin -i 2>/dev/null")
+    return Case(bits, 48080, 9616, 10000, 1.0, cfg,
+                lambda b, s: dec.decode_bits(b, None if s is None else -s),
+                ids, ref, idle_run=8)
 
 
-def _lms6_case(n_frames, rng):
+def _lms6_case(n_frames, rng, workdir):
     from radiosonde_auto_rx_tpu.models.lms6 import (LMS6Decoder,
                                                     blocks_to_raw_bits,
                                                     encode_block,
                                                     encode_frame)
+    w = WARMUP["LMS6"]
     frames = [encode_frame(frnr=100 + i, tow_ms=210600500 + i * 1000,
-                           fill_seed=i) for i in range(n_frames)]
+                           fill_seed=i) for i in range(n_frames + w)]
     bits = blocks_to_raw_bits([encode_block(f) for f in frames])
     cfg = FSKConfig(fs=48000, rs=4800, m=2, p=5, nsym=300,
                     est_min=-10000, est_max=10000)
     dec = LMS6Decoder()
-    return bits, 48000, 4800, 4800, cfg, \
-        lambda b, s: dec.decode_bits(b, None if s is None else -s), 1.0
+    # production chain: reference decode.py:1201 + :1209
+    ref = lambda o, iq: (
+        f"{o.binary('fsk_demod')} --cs16 -b -10000 -u 10000 -s "
+        f"2 48000 4800 {iq} - 2>/dev/null | "
+        f"{o.binary('lms6Xmod')} --json --softin --vit2 -i 2>/dev/null")
+    return Case(bits, 48000, 4800, 4800, 1.0, cfg,
+                lambda b, s: dec.decode_bits(b, None if s is None else -s),
+                set(range(100 + w, 100 + w + n_frames)), ref)
 
 
-def _meisei_case(n_frames, rng):
+def _rs92_case(n_frames, rng, workdir):
+    from radiosonde_auto_rx_tpu.models.rs92 import (RS92Decoder,
+                                                    encode_flight_bits,
+                                                    make_test_ephemeris)
+    from radiosonde_auto_rx_tpu.station import gps_ephem
+    ephs = make_test_ephemeris()
+    w = WARMUP["RS92"]
+    bits = encode_flight_bits(n_frames=n_frames + w, ephs=ephs,
+                              frnr=100, lat=47.0, lon=15.5, alt=9000.0)
+    rinex = None
+    if workdir is not None:
+        rinex = os.path.join(workdir, "eph.txt")
+        gps_ephem.write_rinex_nav(ephs, rinex)
+    cfg = FSKConfig(fs=48000, rs=4800, m=2, p=5, nsym=300,
+                    est_min=-5000, est_max=5000, tone_spacing=4800,
+                    freq_est_type=1)
+    dec = RS92Decoder(ephemeris=ephs)
+    # production chain: reference decode.py:976 + :985 (-e ephemeris).
+    # --mask matches our cfg's masked estimator (freq_est_type=1): the
+    # Manchester stream is alternation-heavy and the unmasked C
+    # peak-picker locks to alternation sidebands on synthetic signals.
+    ref = lambda o, iq: (
+        f"{o.binary('fsk_demod')} --cs16 -b -10000 -u 10000 -s "
+        f"--mask 4800 --nsym=300 -p 5 "
+        f"2 48000 4800 {iq} - 2>/dev/null | "
+        f"{o.binary('rs92mod')} --crc --ecc --vel --json --softin -i "
+        f"-e {rinex} 2>/dev/null")
+    return Case(bits, 48000, 4800, 4800, 0.5, cfg,
+                lambda b, s: dec.decode_bits(b),
+                set(range(100 + w, 100 + w + n_frames)),
+                ref if rinex else None)
+
+
+def _meisei_case(n_frames, rng, workdir):
     from radiosonde_auto_rx_tpu.models.meisei import (
         MeiseiDecoder, encode_subframes_ims100, frames_to_raw_bits)
+    w = WARMUP["MEISEI"]
+    # one telemetry packet = an (even, odd) counter pair: the iMS-100
+    # emitter holds the even frame's position until the odd frame's vV
+    # arrives (meisei100mod.c:1019-1280); identity is the even counter
     frames = [encode_subframes_ims100(16 + i, sn=2304123.0, lat=36.1,
                                       lon=140.08, alt=9000.0)
-              for i in range(n_frames)]
+              for i in range(2 * (n_frames + w))]
     bits = frames_to_raw_bits(frames)
     cfg = FSKConfig(fs=48000, rs=2400, m=2, p=5, nsym=300,
                     est_min=-10000, est_max=10000)
     dec = MeiseiDecoder(ref_year=2023)
-    return bits, 48000, 2400, 3600, cfg, \
-        lambda b, s: dec.decode_bits(b), 1.0
+    return Case(bits, 48000, 2400, 3600, 1.0, cfg,
+                lambda b, s: dec.decode_bits(b),
+                {16 + 2 * (w + k) for k in range(n_frames)}, None)
 
 
 CASES = {"RS41": _rs41_case, "DFM": _dfm_case, "M10": _m10_case,
-         "LMS6": _lms6_case, "MEISEI": _meisei_case}
+         "LMS6": _lms6_case, "RS92": _rs92_case, "MEISEI": _meisei_case}
 
 
-def run_point(sonde_type: str, ebno_db: float, n_frames: int = 10,
-              seed: int = 0):
-    """One PER measurement.  Returns dict(type, ebno_db, frames_tx,
-    frames_rx, per, runtime_s)."""
+def _make_iq(case: Case, ebno_db: float, rng):
+    idle = _idle(600, case.idle_run)
+    # generous tail so the demod's clipped nmem + one-block tail never
+    # cuts the last frame
+    tail = _idle(1400, case.idle_run)
+    tx = np.concatenate([idle, case.tx_bits, tail])
+    return add_awgn(gfsk_mod(tx, case.fs, case.rs, 2, 0.0, case.spacing,
+                             bt=case.bt), ebno_db, case.fs, case.rs,
+                    rng=rng)
+
+
+def run_point(sonde_type: str, ebno_db: float, n_frames: int = 100,
+              seed: int = 0, chains=("tpu",), workdir=None):
+    """One PER measurement per requested chain.  Returns a list of
+    dict(type, chain, ebno_db, frames_tx, frames_rx, per, runtime_s)."""
     rng = np.random.default_rng(seed)
-    tx_bits, fs, rs, spacing, cfg, decode, bt = CASES[sonde_type](
-        n_frames, rng)
-    idle = np.tile(np.array([1, 0], np.uint8), 300)
-    # generous tail so the demod's clipped nmem+block tail never cuts
-    # the last frame
-    tail = np.tile(np.array([1, 0], np.uint8), 700)
-    tx = np.concatenate([idle, tx_bits, tail])
-    iq = add_awgn(gfsk_mod(tx, fs, rs, 2, 0.0, spacing, bt=bt),
-                  ebno_db, fs, rs, rng=rng)
-    t0 = time.perf_counter()
-    import jax.numpy as jnp
-    soft, bits, stats, _ = fsk_demod_stream(cfg, jnp.asarray(iq))
-    telems = decode(np.asarray(bits), np.asarray(soft))
-    dt = time.perf_counter() - t0
-    # count unique decoded frames (duplicate suppression differs by type)
-    seen = {(t.get("frame"), t.get("id")) for t in telems}
-    n_rx = min(len(seen), n_frames)
-    return dict(type=sonde_type, ebno_db=ebno_db, frames_tx=n_frames,
-                frames_rx=n_rx, per=1.0 - n_rx / n_frames,
-                runtime_s=round(dt, 3))
-
-
-def sweep(sonde_type: str, ebnos, n_frames: int = 10, seed: int = 0,
-          out=None):
+    own_dir = None
+    if workdir is None and "ref" in chains:
+        own_dir = tempfile.TemporaryDirectory()
+        workdir = own_dir.name
+    case = CASES[sonde_type](n_frames, rng, workdir)
+    iq = _make_iq(case, ebno_db, rng)
     rows = []
-    for e in ebnos:
-        r = run_point(sonde_type, float(e), n_frames, seed)
-        rows.append(r)
-        line = "%(type)s,%(ebno_db).1f,%(frames_tx)d,%(frames_rx)d," \
-               "%(per).3f,%(runtime_s).3f" % r
-        print(line, file=out or sys.stdout, flush=True)
+    try:
+        for chain in chains:
+            t0 = time.perf_counter()
+            if chain == "tpu":
+                import jax.numpy as jnp
+                soft, bits, stats, _ = fsk_demod_stream(case.cfg,
+                                                        jnp.asarray(iq))
+                telems = case.decode(np.asarray(bits), np.asarray(soft))
+            else:
+                o = _oracle()
+                if o is None or case.ref_cmd is None:
+                    continue
+                iq_path = os.path.join(workdir,
+                                       f"{sonde_type}_{ebno_db}.cs16")
+                with open(iq_path, "wb") as f:
+                    f.write(o.iq_to_cs16(iq))
+                telems = o.run_json(case.ref_cmd(o, iq_path))
+                os.unlink(iq_path)
+            dt = time.perf_counter() - t0
+            rx_ids = {t.get("frame") for t in telems} & case.tx_ids
+            rows.append(dict(type=sonde_type, chain=chain,
+                             ebno_db=ebno_db, frames_tx=n_frames,
+                             frames_rx=len(rx_ids),
+                             per=1.0 - len(rx_ids) / n_frames,
+                             runtime_s=round(dt, 3)))
+    finally:
+        if own_dir is not None:
+            own_dir.cleanup()
+    return rows
+
+
+def sweep(sonde_type: str, ebnos, n_frames: int = 100, seed: int = 0,
+          chains=("tpu",), out=None):
+    rows = []
+    with tempfile.TemporaryDirectory() as workdir:
+        for e in ebnos:
+            for r in run_point(sonde_type, float(e), n_frames, seed,
+                               chains, workdir):
+                rows.append(r)
+                print("%(type)s,%(chain)s,%(ebno_db).1f,%(frames_tx)d,"
+                      "%(frames_rx)d,%(per).3f,%(runtime_s).3f" % r,
+                      file=out or sys.stdout, flush=True)
     return rows
 
 
@@ -162,16 +343,19 @@ def main(argv=None):
     ap.add_argument("--type", default="RS41", choices=sorted(CASES))
     ap.add_argument("--ebno", default="5:20:0.5",
                     help="start:stop:step dB (reference range 5-20/0.5)")
-    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--chains", default="tpu",
+                    help="comma list: tpu,ref (ref needs /root/reference)")
     ap.add_argument("-o", "--output", default=None)
     args = ap.parse_args(argv)
     a, b, s = (float(v) for v in args.ebno.split(":"))
     ebnos = np.arange(a, b + s / 2, s)
+    chains = tuple(args.chains.split(","))
     out = open(args.output, "w") if args.output else None
-    print("type,ebno_db,frames_tx,frames_rx,per,runtime_s",
+    print("type,chain,ebno_db,frames_tx,frames_rx,per,runtime_s",
           file=out or sys.stdout)
-    sweep(args.type, ebnos, args.frames, args.seed, out)
+    sweep(args.type, ebnos, args.frames, args.seed, chains, out)
     if out:
         out.close()
     return 0

@@ -7,19 +7,25 @@ import pytest
 from radiosonde_auto_rx_tpu.tools import per_harness
 
 
+def _point(sonde_type, ebno, n_frames):
+    rows = per_harness.run_point(sonde_type, ebno, n_frames=n_frames)
+    assert len(rows) == 1 and rows[0]["chain"] == "tpu"
+    return rows[0]
+
+
 def test_rs41_per_cliff():
     """RS41 chain: clean at 12 dB, dead at 2 dB (the reference's chains
     fall over in the 10-16 dB generation range, test/README.md:35 —
     ours must hold the high side and fail the deep-noise side)."""
-    hi = per_harness.run_point("RS41", 12.0, n_frames=5)
-    lo = per_harness.run_point("RS41", 2.0, n_frames=5)
+    hi = _point("RS41", 12.0, 5)
+    lo = _point("RS41", 2.0, 5)
     assert hi["frames_rx"] >= 4, hi
     assert lo["frames_rx"] == 0, lo
 
 
 def test_m10_per_cliff():
-    hi = per_harness.run_point("M10", 16.0, n_frames=5)
-    lo = per_harness.run_point("M10", 2.0, n_frames=5)
+    hi = _point("M10", 16.0, 5)
+    lo = _point("M10", 2.0, 5)
     assert hi["frames_rx"] >= 3, hi
     assert lo["frames_rx"] == 0, lo
 
@@ -30,14 +36,27 @@ def test_sweep_csv_cli(tmp_path):
                            "--frames", "3", "-o", str(out)])
     assert rc == 0
     lines = out.read_text().strip().splitlines()
-    assert lines[0].startswith("type,ebno_db")
+    assert lines[0].startswith("type,chain,ebno_db")
     assert len(lines) == 3          # header + 2 points
-    assert lines[1].startswith("RS41,2.0,3,")
+    assert lines[1].startswith("RS41,tpu,2.0,3,")
 
 
 def test_lms6_per_cliff():
     """Viterbi+RS chain: decodes at 16 dB, dead in deep noise."""
-    hi = per_harness.run_point("LMS6", 16.0, n_frames=4)
-    lo = per_harness.run_point("LMS6", 0.0, n_frames=4)
+    hi = _point("LMS6", 16.0, 4)
+    lo = _point("LMS6", 0.0, 4)
     assert hi["frames_rx"] >= 3, hi
     assert lo["frames_rx"] == 0, lo
+
+
+@pytest.mark.skipif(not per_harness._oracle(),
+                    reason="reference unavailable")
+def test_ref_overlay_exact_at_high_snr():
+    """The reference chain decodes the identical noisy stream exactly at
+    high Eb/N0 — the TX/RX accounting and the C-chain plumbing are both
+    airtight before any PER comparison is made."""
+    rows = per_harness.run_point("RS41", 18.0, n_frames=4,
+                                 chains=("tpu", "ref"))
+    assert len(rows) == 2
+    for r in rows:
+        assert r["frames_rx"] == 4, rows
