@@ -461,8 +461,13 @@ def _fsk_demod_scan_buffered(cfg: FSKConfig, x: jnp.ndarray,
     its ``off`` pointer within the small buffer, and the window is
     selected from (2*slack_ts+1) static slices by mask.  Numerically
     identical to ``_fsk_demod_scan`` on the off0-shifted stream while the
-    accumulated clock drift stays inside ±slack/2 (clamped with a
-    re-lock glitch beyond — >800 ppm·s for the default slack).
+    accumulated clock drift stays inside ±slack/2.  Beyond the slack the
+    pointer WRAPS by a whole symbol (an even number of grid steps, so
+    2·ts when ts is odd): one clean symbol duplication/deletion per wrap
+    event, preserving sub-symbol timing phase so the demod stays locked
+    and frame decoders re-sync at the next header — instead of the
+    sub-symbol clamp slip that would corrupt every following symbol
+    under sustained ppm offset.
     The default scan for ``fsk_demod_stream`` and the sharded pipeline.
     """
     half_ts = cfg.ts // 2
@@ -488,7 +493,13 @@ def _fsk_demod_scan_buffered(cfg: FSKConfig, x: jnp.ndarray,
         chunk = jax.lax.dynamic_slice(x, (0, 0, w + b * cfg.n),
                                       (C, 2, cfg.n))
         buf = jnp.concatenate([buf[:, :, cfg.n:], chunk], axis=2)
-        off = jnp.clip(off + (out["nin_next"] - cfg.n), 0, off_max)
+        off = off + (out["nin_next"] - cfg.n)
+        # slack exhausted -> wrap by a whole symbol (grid-aligned), a
+        # clean 1-symbol slip that keeps sub-symbol phase locked
+        wrap = cfg.ts if cfg.ts % 2 == 0 else 2 * cfg.ts
+        off = jnp.where(off > off_max, off - wrap, off)
+        off = jnp.where(off < 0, off + wrap, off)
+        off = jnp.clip(off, 0, off_max)
         new_state = FSKState(sf=newp["sf"], timing=newp["timing"],
                              ppm=newp["ppm"],
                              ptr=st["ptr"] + out["nin_next"],

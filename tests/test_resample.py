@@ -54,17 +54,22 @@ def test_batched_matches_single(rng):
 
 
 def test_m10_chain_via_resampler(rng):
-    """M10-style 9615.4 Bd stream demods cleanly after 48k->48.08k
-    resampling (Ts becomes exactly 5)."""
+    """M10-style 9616 Bd stream demods cleanly after 48k->48.08k
+    resampling (Ts becomes exactly 5).
+
+    Resampling preserves REAL-TIME baud rate, so the on-air signal is
+    synthesized at true 9616 Bd (integer Ts of 5 at 48080 Hz), then
+    resampled down to the 48 kHz capture rate — the reverse of the
+    production path — before the production 48k->48.08k resample."""
     import jax.numpy as jnp
     from radiosonde_auto_rx_tpu.demod import FSKConfig, fsk_demod_stream
     from radiosonde_auto_rx_tpu.demod.modulate import gfsk_mod, add_awgn
     fs0, fs1, rs = 48000, 48080, 9616
     tx = rng.integers(0, 2, 6000).astype(np.uint8)
-    iq = add_awgn(gfsk_mod(tx, fs0, 48000 * rs / 48080, 2, 0.0, 9616),
-                  14.0, fs0, rs)
-    x0 = np.stack([iq.real, iq.imag]).astype(np.float32)
-    x1 = resample_planes(x0, fs0, fs1)
+    iq = add_awgn(gfsk_mod(tx, fs1, rs, 2, 0.0, 9616), 14.0, fs1, rs)
+    x_air = np.stack([iq.real, iq.imag]).astype(np.float32)
+    x0 = resample_planes(x_air, fs1, fs0)      # the 48 kHz channel
+    x1 = resample_planes(np.asarray(x0), fs0, fs1)
     cfg = FSKConfig(fs=fs1, rs=rs, m=2, p=5, nsym=96,
                     est_min=-10000, est_max=10000)
     soft, bits, stats, _ = fsk_demod_stream(cfg, jnp.asarray(x1)[None])
