@@ -126,6 +126,10 @@ def default_config() -> dict:
         "sondehub_enabled": True,
         "sondehub_upload_rate": 30,
         "sondehub_contact_email": "none@none.com",
+        # parallel host frame plane: decoder worker processes (0 =
+        # decode frames inline; N>0 = affinity-routed pool, the analogue
+        # of the reference's process-per-sonde decoders)
+        "frame_plane_workers": 0,
         # misc
         "wideband_sondes": False,
         "close_on_encrypted": True,
@@ -176,7 +180,7 @@ _SECTIONS = {
                  "temporary_block_time", "wideband_sondes",
                  "close_on_encrypted", "save_cal_data",
                  "enable_debug_logging", "capture_rate", "num_channels",
-                 "num_channels_wide"),
+                 "num_channels_wide", "frame_plane_workers"),
 }
 
 

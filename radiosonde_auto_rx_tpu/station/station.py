@@ -138,6 +138,12 @@ class Station:
         self._narrow = _BandProfile(self.n_chan, self.fs_wide)
         self._wide = None            # built lazily for >1 GHz captures
         self.rt_filter = RealtimeVelocityFilter(self.config["max_velocity"])
+        # parallel host frame plane: decoder worker pool (0 = inline).
+        # Replaces the reference's process-per-sonde decoder subprocesses
+        # (reference decode.py:1602-2002) with an affinity-routed pool.
+        from radiosonde_auto_rx_tpu.station.frame_plane import FramePlane
+        self.frame_plane = FramePlane(
+            int(self.config.get("frame_plane_workers", 0)))
         # task state (reference auto_rx.py task_list / temporary_block_list)
         self.active = {}             # freq_hz (int) -> dict(type, decoder, last_ok)
         self.temporary_blocks = {}   # freq_hz -> unblock time
@@ -329,6 +335,7 @@ class Station:
         for fz in list(self.active):
             if abs(fz - freq_hz) <= q:
                 del self.active[fz]
+                self.frame_plane.drop(fz)
         fz = int(round(freq_hz))
         if lockout_minutes > 0:
             self.temporary_blocks[fz] = time.time() + lockout_minutes * 60
@@ -381,6 +388,9 @@ class Station:
         out = []
         ebno = np.atleast_2d(np.asarray(stats["ebno_db"])) \
             if "ebno_db" in stats else None
+        if self.frame_plane.workers > 0:
+            return self._decode_frames_pooled(items, name, bits_b, soft_b,
+                                              ebno, chan_map)
         for j, (ci, det) in enumerate(items):
             real_ci = chan_map[ci] if chan_map else ci
             fz = self.freq_of_channel(real_ci)
@@ -396,6 +406,55 @@ class Station:
                               fz / 1e6, name)
         return out
 
+    def _decode_frames_pooled(self, items, name, bits_b, soft_b, ebno,
+                              chan_map) -> list:
+        """Fan this type's channels out to the frame-plane workers, then
+        run the light main-process tail (enrich/filter/export) in ticket
+        order so output ordering matches the inline path."""
+        model_name = MODEL_NAME.get(name, name)
+        meta = {}
+        for j, (ci, det) in enumerate(items):
+            real_ci = chan_map[ci] if chan_map else ci
+            fz = self.freq_of_channel(real_ci)
+            soft = None if soft_b is None else -soft_b[j]
+            ticket = self.frame_plane.decode(
+                fz, model_name, self._decoder_kwargs(name, model_name),
+                bits_b[j], soft)
+            meta[ticket] = (fz, det,
+                            None if ebno is None else float(ebno[j].max()))
+        results = self.frame_plane.gather()
+        out = []
+        for ticket in sorted(meta):
+            fz, det, snr_db = meta[ticket]
+            state = self.active.get(fz)
+            if state is None or state["type"] != name:
+                state = dict(type=name, decoder=None, last_ok=0.0)
+                self.active[fz] = state
+            out.extend(self._post_frames(fz, state,
+                                         results.get(ticket, []),
+                                         snr_db, det))
+        return out
+
+    def _decoder_kwargs(self, name, model_name) -> dict:
+        """Constructor args for a type's frame decoder."""
+        kwargs = {}
+        if name == "RS92NGP":
+            # 1680 MHz RS92-NGP: scrambled cal/PTU + frequency table
+            # offset (reference rs92mod.c --ngp :1803)
+            kwargs["ngp"] = True
+        if model_name == "RS92":
+            # RS92 needs GPS ephemeris for its raw-pseudorange nav
+            # (reference decode.py:423-446)
+            eph = self.config.get("rs92_ephemeris")
+            if eph is None:
+                from radiosonde_auto_rx_tpu.station.gps_ephem import \
+                    get_ephemeris
+                eph = get_ephemeris()
+                self.config["rs92_ephemeris"] = eph
+            if eph:
+                kwargs["ephemeris"] = eph
+        return kwargs
+
     def _decode_frames(self, fz, name, bits, soft, snr_db, det) -> list:
         """Host frame plane for one channel (task-keyed by absolute
         frequency ``fz``): decoder state, frame decode,
@@ -407,30 +466,22 @@ class Station:
         if state is None or state["type"] != name or \
                 state.get("decoder") is None:
             decoder_cls = get_model(model_name)
-            kwargs = {}
-            if name == "RS92NGP":
-                # 1680 MHz RS92-NGP: scrambled cal/PTU + frequency table
-                # offset (reference rs92mod.c --ngp :1803)
-                kwargs["ngp"] = True
-            if model_name == "RS92":
-                # RS92 needs GPS ephemeris for its raw-pseudorange nav
-                # (reference decode.py:423-446)
-                eph = self.config.get("rs92_ephemeris")
-                if eph is None:
-                    from radiosonde_auto_rx_tpu.station.gps_ephem import \
-                        get_ephemeris
-                    eph = get_ephemeris()
-                    self.config["rs92_ephemeris"] = eph
-                if eph:
-                    kwargs["ephemeris"] = eph
-            state = dict(type=name, decoder=decoder_cls(**kwargs),
-                         last_ok=0.0)
+            state = dict(
+                type=name,
+                decoder=decoder_cls(**self._decoder_kwargs(name,
+                                                           model_name)),
+                last_ok=0.0)
             self.active[fz] = state
         decoder = state["decoder"]
 
-        freq_hz = float(fz)
         raw_telems = decoder.decode_bits(
             bits, None if soft is None else -soft)
+        return self._post_frames(fz, state, raw_telems, snr_db, det)
+
+    def _post_frames(self, fz, state, raw_telems, snr_db, det) -> list:
+        """Main-process telemetry tail: enrich, filter, export, task
+        bookkeeping.  Shared by the inline and pooled frame planes."""
+        freq_hz = float(fz)
         out = []
         for t in raw_telems:
             t = enrich_telemetry(
@@ -463,6 +514,7 @@ class Station:
 
     def _drop_channel(self, fz, encrypted=False):
         self.active.pop(fz, None)
+        self.frame_plane.drop(fz)
         self.temporary_blocks[fz] = time.time() + \
             self.config["temporary_block_time"] * 60
         if encrypted:
@@ -475,8 +527,10 @@ class Station:
         for fz in list(self.active):
             if now - self.active[fz]["last_ok"] > self.config["rx_timeout"]:
                 self.active.pop(fz)
+                self.frame_plane.drop(fz)
 
     def close(self):
+        self.frame_plane.close()
         for e in self.exporters:
             try:
                 e.close()
