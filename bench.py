@@ -1,4 +1,5 @@
-"""Headline benchmark: IQ Msamples/s per chip through the FSK demodulator.
+"""Headline benchmark: IQ Msamples/s per chip through the FSK demodulator,
+plus the end-to-end station step (channelize → PSD → detect → demod).
 
 Primary metric per BASELINE.json: complex IQ samples/s through the full
 RS41-config 2FSK demod (freq estimation + tone integration + timing + soft
@@ -6,7 +7,16 @@ bits).  Baseline: the reference decodes ~5 concurrent 48 kHz channels in
 real time on a Pi4 (reference auto_rx/station.cfg.example:36-38) =
 0.24 Msamples/s/device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The station-step metric runs the production dataflow at production
+geometry — B wideband 2.4 MHz captures → 50-channel PFB channelizer →
+2048-bin Welch PSD scan → detector conditioning + template correlation on
+a 20% channel duty cycle → buffered FSK demod on every channel — and
+reports WIDEBAND samples/s plus an MFU / HBM-roofline estimate from XLA's
+cost analysis (v5e peaks: 197 TFLOP/s bf16, 819 GB/s HBM).  Host-side
+peak picking / frame decode are excluded (they are amortized control
+logic; the frame plane is benched by tools/bench_frame_plane.py).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -21,6 +31,14 @@ from radiosonde_auto_rx_tpu.demod.fsk import (
     _fsk_demod_scan_buffered)
 
 BASELINE_MSPS = 0.24  # reference: ~5 real-time 48 kHz channels per device
+V5E_PEAK_FLOPS = 197e12      # bf16 MXU peak
+V5E_HBM_BPS = 819e9
+
+
+def _cfg():
+    return FSKConfig(fs=48000, rs=4800, m=2, p=5, nsym=300,
+                     est_min=-5000, est_max=5000,
+                     tone_spacing=5000, freq_est_type=1)
 
 
 def make_input(cfg, channels, t_samples, key):
@@ -37,11 +55,8 @@ def make_input(cfg, channels, t_samples, key):
     return (iq + noise).astype(jnp.float32)
 
 
-def main():
-    on_tpu = jax.devices()[0].platform == "tpu"
-    cfg = FSKConfig(fs=48000, rs=4800, m=2, p=5, nsym=300,
-                    est_min=-5000, est_max=5000,
-                    tone_spacing=5000, freq_est_type=1)
+def bench_demod(on_tpu):
+    cfg = _cfg()
     channels = 512 if on_tpu else 16
     t_samples = 48000 * 4 if on_tpu else 48000
     reps = 5 if on_tpu else 2
@@ -68,13 +83,104 @@ def main():
         ssum, bsum, state = runj(x, state0)
         float(ssum)                       # host fetch = hard sync point
     dt = time.perf_counter() - t0
+    return channels * t_samples * reps / dt / 1e6
 
-    msps = channels * t_samples * reps / dt / 1e6
+
+def bench_station_step(on_tpu, duty=0.2):
+    """End-to-end device dataflow at production geometry.
+
+    Returns (wideband Msamples/s, mfu_pct, hbm_util_pct)."""
+    from radiosonde_auto_rx_tpu.detect.correlator import _correlate
+    from radiosonde_auto_rx_tpu.detect.psd import _welch
+    from radiosonde_auto_rx_tpu.detect.scanner import SondeDetector
+    from radiosonde_auto_rx_tpu.ops.channelizer import (_channelize,
+                                                        pfb_prototype)
+
+    n_chan = 50                       # production: 2.4 MHz / 48 kHz
+    B = 10 if on_tpu else 1           # captures per step (C = 500 chans)
+    t_wide = 2_400_000 if on_tpu else 480_000   # 1 s / 0.2 s per capture
+    reps = 5 if on_tpu else 2
+    cfg = _cfg()
+    taps = jnp.asarray(pfb_prototype(n_chan))
+    det = SondeDetector(48000)
+    n_det = max(1, int(B * n_chan * duty))
+    t_ch = t_wide // n_chan
+    nb = fsk_num_blocks_buffered(cfg, t_ch)
+    classes = [(bank, tuple(int(v) for v in lens))
+               for _, _, _, bank, lens in det.classes]
+
+    key = jax.random.key(1)
+    wide = jax.random.normal(key, (B, 2, t_wide), jnp.float32)
+    wide.block_until_ready()
+
+    def step(wide):
+        # 1. PFB channelizer per capture
+        ch = jax.vmap(lambda w: _channelize(w, taps, n_chan))(wide)
+        C = B * n_chan
+        chf = ch.reshape(C, 2, -1)
+        # 2. PSD scan over each wideband capture (station.scan)
+        psd = _welch(wide, 2048)
+        # 3. detector conditioning + template correlation, duty subset
+        streams = det._condition(chf[:n_det])
+        corr_acc = jnp.float32(0)
+        for fm, (bank, lens_t) in zip(streams, classes):
+            corr, xnorm, _ = _correlate(fm, bank, lens_t)
+            corr_acc = corr_acc + (corr / xnorm).max()
+        # 4. buffered FSK demod on every channel
+        state = fsk_init_state(cfg, C)
+        _, outs = _fsk_demod_scan_buffered(cfg, chf, state, nb)
+        return (psd.sum() + corr_acc + outs["soft"].sum(),
+                outs["bits"].astype(jnp.int32).sum())
+
+    stepj = jax.jit(step)
+    s, b = stepj(wide)
+    float(s), int(b)
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s, b = stepj(wide)
+        float(s)
+    dt = time.perf_counter() - t0
+    msps = B * t_wide * reps / dt / 1e6
+
+    mfu = hbm = None
+    try:
+        ca = stepj.lower(wide).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        nbytes = float(ca.get("bytes accessed", 0.0))
+        step_s = dt / reps
+        if flops:
+            mfu = round(100.0 * flops / step_s / V5E_PEAK_FLOPS, 3)
+        if nbytes:
+            hbm = round(100.0 * nbytes / step_s / V5E_HBM_BPS, 1)
+    except Exception:
+        pass
+    return msps, mfu, hbm
+
+
+def main():
+    on_tpu = jax.devices()[0].platform == "tpu"
+    msps = bench_demod(on_tpu)
+    extra = {}
+    try:
+        st_msps, mfu, hbm = bench_station_step(on_tpu)
+        extra["station_step_msps_wideband"] = round(st_msps, 3)
+        extra["station_step_vs_baseline"] = round(st_msps / BASELINE_MSPS, 2)
+        if mfu is not None:
+            extra["station_step_mfu_pct_bf16peak"] = mfu
+        if hbm is not None:
+            extra["station_step_hbm_util_pct"] = hbm
+        extra["detect_duty"] = 0.2
+    except Exception as e:                      # pragma: no cover
+        extra["station_step_error"] = repr(e)[:200]
     print(json.dumps({
         "metric": "fsk_demod_iq_throughput",
         "value": round(msps, 3),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / BASELINE_MSPS, 2),
+        "extra": extra,
     }))
 
 
