@@ -163,21 +163,36 @@ def build_exporters(config, web_exporter=None):
 
 class BlockSource:
     """Wideband IQ block reader over a replay file or an SDR capture
-    process; yields [2, T] float32 planes per block.
+    process; yields ``(center_hz, block)`` with block = [2, T] float32
+    planes.
+
+    Blocks are double-buffered: a reader thread keeps up to ``prefetch``
+    blocks queued so source IO overlaps device compute (the host-side
+    async driver SURVEY §2.3 prescribes — the reference gets the same
+    overlap for free from its per-task subprocess pipelines,
+    reference autorx/decode.py:1602-2002).  Each block is tagged with the
+    center frequency it was captured at, so a hop never attributes old
+    spectrum to the new center.
 
     ``retune(center_hz)`` restarts the capture process on a new center
-    frequency for band-plan hopping (replay files are fixed-center and
-    ignore retunes, like the reference's per-task rtl_fm restarts,
+    frequency for band-plan hopping and discards any queued blocks from
+    the old center (replay files are fixed-center and ignore retunes,
+    like the reference's per-task rtl_fm restarts,
     reference autorx/scan.py:413-656)."""
 
-    def __init__(self, config, args, center_hz: float | None = None):
+    def __init__(self, config, args, center_hz: float | None = None,
+                 prefetch: int = 2):
         self.config = config
         self.args = args
         self.center_hz = (args.center * 1e6 if center_hz is None
                           else float(center_hz))
+        self.prefetch = max(1, int(prefetch))
         self.proc = None
         self._file = None
         self.src = None
+        self._q = None
+        self._reader = None
+        self._stop_evt = None
         self._open()
 
     def _open(self):
@@ -203,19 +218,72 @@ class BlockSource:
             stream = open_pumped(self.proc.stdout)
             fmt = "cs16"
         self.src = IQStreamSource(stream, fmt=fmt, block_samples=block)
+        self._start_reader()
+
+    def _start_reader(self):
+        import queue
+        import threading
+        self._stop_evt = threading.Event()
+        self._q = queue.Queue(maxsize=self.prefetch)
+
+        def pump(src=self.src, center=self.center_hz, q=self._q,
+                 stop=self._stop_evt):
+            while not stop.is_set():
+                try:
+                    blk = src.read_block()
+                except Exception:
+                    blk = None
+                while not stop.is_set():
+                    try:
+                        q.put((center, blk), timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+                if blk is None:
+                    return
+
+        self._reader = threading.Thread(target=pump, daemon=True,
+                                        name="block-prefetch")
+        self._reader.start()
+
+    def _stop_reader(self):
+        if self._stop_evt is not None:
+            self._stop_evt.set()
+        # closing the capture process/file unblocks a reader stuck in a
+        # pipe read; callers do that via _stop() before joining
+        if self._reader is not None:
+            self._reader.join(timeout=5.0)
+            self._reader = None
 
     def retune(self, center_hz: float):
         if self.args.replay or abs(center_hz - self.center_hz) < 1.0:
             return
-        self._stop()
+        if self._stop_evt is not None:
+            self._stop_evt.set()
+        self._stop()            # kill capture first: unblocks the reader
+        self._stop_reader()
         self.center_hz = float(center_hz)
-        self._open()
+        self._open()            # fresh queue — old-center blocks dropped
 
     def read_block(self):
-        return self.src.read_block()
+        """Next ``(center_hz, block)``; block is None at end of stream."""
+        import queue
+        while True:
+            try:
+                return self._q.get(timeout=0.25)
+            except queue.Empty:
+                if self._reader is None or not self._reader.is_alive():
+                    try:
+                        return self._q.get_nowait()
+                    except queue.Empty:
+                        return (self.center_hz, None)
 
     def blocks(self):
-        return self.src.blocks()
+        while True:
+            _, blk = self.read_block()
+            if blk is None:
+                return
+            yield blk
 
     def _stop(self):
         if self.proc is not None:
@@ -230,7 +298,10 @@ class BlockSource:
             self._file = None
 
     def close(self):
+        if self._stop_evt is not None:
+            self._stop_evt.set()
         self._stop()
+        self._stop_reader()
 
 
 def run_station(args, config) -> int:
@@ -312,12 +383,15 @@ def run_station(args, config) -> int:
                     seg = scheduler.next_center(tasked,
                                                 station.scan_enabled)
                     source.retune(seg.center_hz)
-                block = source.read_block()
+                block_center, block = source.read_block()
                 if block is None:
                     break
                 got_any = True
-                if seg is not None:
-                    station.center_freq = seg.center_hz
+                if scheduler is not None:
+                    # the block's capture-time tag, not the segment we
+                    # just asked for — a prefetched block may predate the
+                    # retune request
+                    station.center_freq = block_center
                 if forced_chan is not None:
                     from radiosonde_auto_rx_tpu.ops.channelizer import \
                         channelize
