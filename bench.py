@@ -160,7 +160,78 @@ def bench_station_step(on_tpu, duty=0.2):
     return msps, mfu, hbm
 
 
+_SCALING_CHILD = r"""
+import json, os, sys, time
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                           + sys.argv[1])
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, sys.argv[2])
+import jax.numpy as jnp
+from radiosonde_auto_rx_tpu.demod.fsk import FSKConfig
+from radiosonde_auto_rx_tpu.parallel.mesh import (make_mesh,
+                                                  channel_sharding)
+from radiosonde_auto_rx_tpu.parallel.pipeline import sharded_fsk_demod
+
+ndev = int(sys.argv[1])
+cfg = FSKConfig(fs=48000, rs=4800, m=2, p=5, nsym=300,
+                est_min=-5000, est_max=5000, tone_spacing=5000,
+                freq_est_type=1)
+C, T, reps = 16, 96000, 3
+mesh = make_mesh(n_ch=ndev)
+key = jax.random.key(0)
+x = jax.device_put(jax.random.normal(key, (C, 2, T), jnp.float32),
+                   channel_sharding(mesh))
+run = jax.jit(lambda x: sharded_fsk_demod(cfg, mesh, x)[1]
+              .astype(jnp.int32).sum())
+int(run(x))                                   # compile + warm
+t0 = time.perf_counter()
+for _ in range(reps):
+    v = int(run(x))
+dt = time.perf_counter() - t0
+print(json.dumps({"ndev": ndev, "msps": round(C * T * reps / dt / 1e6, 3)}))
+"""
+
+
+def bench_scaling():
+    """Sharded-demod samples/s at 1 vs 8 (virtual CPU) devices.
+
+    The per-round BENCH runs on the one real chip; this mode provides the
+    device-scaling evidence (SURVEY §6 asks for 1-chip / 1-host / N-host
+    points) by running the identical channel-sharded program over
+    xla_force_host_platform_device_count meshes in subprocesses."""
+    import os
+    import subprocess
+    out = {}
+    repo = os.path.dirname(os.path.abspath(__file__))
+    for ndev in (1, 8):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        r = subprocess.run([sys.executable, "-c", _SCALING_CHILD,
+                            str(ndev), repo],
+                           capture_output=True, text=True, env=env,
+                           timeout=1800)
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            raise RuntimeError(f"scaling child ndev={ndev} failed: "
+                               f"{r.stderr[-400:]}")
+        out[ndev] = json.loads(line[-1])["msps"]
+    speedup = round(out[8] / out[1], 2) if out.get(1) else None
+    print(json.dumps({
+        "metric": "sharded_demod_scaling_cpu",
+        "value": out.get(8),
+        "unit": "Msamples/s@8dev",
+        "vs_baseline": speedup,
+        "extra": {"msps_1dev": out.get(1), "msps_8dev": out.get(8),
+                  "speedup_8v1": speedup},
+    }))
+
+
 def main():
+    if "--scaling" in sys.argv:
+        bench_scaling()
+        return
     on_tpu = jax.devices()[0].platform == "tpu"
     msps = bench_demod(on_tpu)
     extra = {}

@@ -118,15 +118,24 @@ class FSKConfig:
         return self.n + self.ts // 2
 
 
-def iq_planes(x: jnp.ndarray) -> jnp.ndarray:
+def iq_planes(x) -> jnp.ndarray:
     """Normalize IQ input to float32 [C, 2, T] (re, im planes).
 
     Accepts complex64 [C, T] / [T], or already-split [C, 2, T].
+    Host (numpy) complex input is split on the host: complex arrays must
+    never cross the host<->device boundary — the TPU runtime only moves
+    real buffers (and planes are the device-side format anyway; TPU has
+    no complex ALU).
     """
+    if np.iscomplexobj(x) and not isinstance(x, jnp.ndarray):
+        x = np.atleast_2d(np.asarray(x))
+        return jnp.asarray(
+            np.stack([x.real, x.imag], axis=1).astype(np.float32))
     if jnp.iscomplexobj(x):
         if x.ndim == 1:
             x = x[None, :]
         return jnp.stack([x.real, x.imag], axis=1).astype(jnp.float32)
+    x = jnp.asarray(x)
     assert x.ndim == 3 and x.shape[1] == 2, "real input must be [C, 2, T]"
     return x.astype(jnp.float32)
 

@@ -88,6 +88,24 @@ def correlate_bank(x, bank, lens):
     return corr / xnorm, dc
 
 
+@partial(jax.jit, static_argnames=("lens_t",))
+def _correlate_peaks(x, bank, lens_t):
+    """Fused correlate + per-(channel, type) peak reduction.
+
+    Only [C, K] peak values/positions/DC (plus the [C] stream mean for
+    the frequency-offset estimate) cross to the host instead of the full
+    [C, K, T'] score cube — the device->host transfer and the host
+    argmax were the round-1 detector bottleneck (35.5 Msps/chip), not the
+    correlation itself.
+    """
+    corr, xnorm, dc = _correlate(x, bank, lens_t)
+    score = corr / xnorm
+    ipk = jnp.argmax(jnp.abs(score), axis=-1)            # [C, K]
+    val = jnp.take_along_axis(score, ipk[..., None], axis=-1)[..., 0]
+    dcpk = jnp.take_along_axis(dc, ipk[..., None], axis=-1)[..., 0]
+    return val, ipk.astype(jnp.int32), dcpk, jnp.mean(x, axis=-1)
+
+
 def _headcmp(x_c, spec, start, fs, inverted, dc):
     """Re-read header bits at symbol centers and count errors
     (reference headcmp, dft_detect.c:866-901)."""
@@ -178,37 +196,49 @@ def detect_types(x, bank, lens, specs, fm_gain_hz=None, max_det=1,
     estimate (reference df = dc/(2*FM_GAIN*decM), :438-442).
     """
     single = np.ndim(x) == 1
-    xnp = np.atleast_2d(np.asarray(x))
-    score, dc = correlate_bank(x, bank, lens)
-    score = np.asarray(score)
-    dc = np.asarray(dc)
-    # frequency offset from the stream mean: headers are not DC-balanced,
-    # so the whole dwell (payload averages out) beats the header window
-    xm = xnp.mean(axis=-1)
-    C = score.shape[0]
+    xj = jnp.asarray(x, jnp.float32)
+    if xj.ndim == 1:
+        xj = xj[None, :]
+    val_a, ipk_a, dc_a, xm = _correlate_peaks(
+        xj, jnp.asarray(bank), tuple(int(v) for v in lens))
+    # only [C, K] peak stats cross to the host; the FM streams stay on
+    # device and are fetched lazily per channel, only when a candidate
+    # clears its threshold (rare: most scan channels are noise)
+    val_a, ipk_a, dc_a, xm = (np.asarray(v) for v in
+                              (val_a, ipk_a, dc_a, xm))
+    C = val_a.shape[0]
+    _cache = {}
+
+    def chan(c):
+        if c not in _cache:
+            _cache[c] = np.asarray(xj[c])
+        return _cache[c]
+
     out = []
     for c in range(C):
         dets = []
         for k, spec in enumerate(specs):
-            sc = score[c, k]
-            ipk = int(np.argmax(np.abs(sc)))
-            val = float(sc[ipk])
+            ipk = int(ipk_a[c, k])
+            val = float(val_a[c, k])
             if abs(val) >= spec.thres:
-                herrs = _headcmp(xnp[c], spec, ipk, fs, val < 0,
-                                 float(dc[c, k, ipk]))
+                herrs = _headcmp(chan(c), spec, ipk, fs, val < 0,
+                                 float(dc_a[c, k]))
                 if herrs > spec.herrs:
                     continue
                 off = 0.0
                 if fm_gain_hz is not None:
+                    # frequency offset from the stream mean: headers are
+                    # not DC-balanced, so the whole dwell (payload
+                    # averages out) beats the header window
                     off = float(xm[c]) * fm_gain_hz
                 name = spec.name
                 if name == "M10":
-                    sub = _frm_m10_m20(xnp[c], spec, ipk + int(lens[k]),
-                                       fs, val < 0, float(dc[c, k, ipk]))
+                    sub = _frm_m10_m20(chan(c), spec, ipk + int(lens[k]),
+                                       fs, val < 0, float(dc_a[c, k]))
                     if sub is not None:
                         name = sub
                 elif name == "IMETafsk":
-                    sub = _imet_subtype(xnp[c], ipk + int(lens[k]), fs,
+                    sub = _imet_subtype(chan(c), ipk + int(lens[k]), fs,
                                         wideband)
                     if sub is None:
                         continue        # 2400 Hz dominant: not iMet-4/1RS

@@ -92,7 +92,7 @@ def power_spectrum(x, nfft=1024, fs=48000):
     """
     from radiosonde_auto_rx_tpu.demod.fsk import iq_planes
     single = (np.ndim(x) == 1) or (jnp.iscomplexobj(x) and x.ndim == 1)
-    x = iq_planes(jnp.asarray(x))
+    x = iq_planes(x)
     p = np.asarray(_welch(x, nfft))
     psd_db = 10.0 * np.log10(np.maximum(p, 1e-20))
     freqs = (np.arange(nfft) - nfft // 2) * (fs / nfft)

@@ -93,7 +93,7 @@ class SondeDetector:
         """
         from radiosonde_auto_rx_tpu.demod.fsk import iq_planes
         single = np.ndim(iq) == 1
-        x = iq_planes(jnp.asarray(iq))
+        x = iq_planes(iq)
         if dc_block:
             x = x - jnp.mean(x, axis=-1, keepdims=True) * 0.98
         streams = self._condition(x)
@@ -101,7 +101,7 @@ class SondeDetector:
         merged = [[] for _ in range(C)]
         for fm, (h_if, h_fm, cls_specs, bank, lens) in zip(streams,
                                                            self.classes):
-            dets = detect_types(np.asarray(fm), bank, lens, cls_specs,
+            dets = detect_types(fm, bank, lens, cls_specs,
                                 fm_gain_hz=self.fs / (2.0 * FM_GAIN),
                                 max_det=0, fs=self.fs,
                                 wideband=self.lband or self.fs > 50000)

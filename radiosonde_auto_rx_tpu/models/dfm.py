@@ -183,21 +183,45 @@ class DFMDecoder:
 
     # ------------------------------------------------------------------ #
 
+    #: consecutive frames decoded per header detection; DFM transmits
+    #: back-to-back, so trailing frames whose own header was corrupted
+    #: are still recovered (dfm09mod.c:1309 nfrms=8, :1656-1714)
+    NFRMS = 8
+
     def decode_bits(self, raw_bits: np.ndarray, soft=None):
         """Raw 5000 bd Manchester bit stream -> list of telemetry dicts.
 
         Auto-polarity: searches both the header and its complement
-        (reference --auto, dfm09mod.c:1652-1671)."""
+        (reference --auto, dfm09mod.c:1652-1671).  Each header hit seeds
+        up to NFRMS consecutive frame reads at the 560-raw-bit frame
+        stride.  When soft values are given, both Manchester halves are
+        integrated (s = s2 - s1) for the hard and soft bit decisions
+        (dfm09mod.c:1685)."""
         from radiosonde_auto_rx_tpu.demod.framing import find_frame_starts
         raw_bits = np.asarray(raw_bits, dtype=np.uint8)
+        stride = 2 * FRAME_BITS          # raw bits per frame incl. header
         results = []
         for inv, hdr in ((False, RAW_HEADER),
                          (True, "".join("1" if c == "0" else "0"
                                         for c in RAW_HEADER))):
             starts = find_frame_starts(raw_bits, hdr, max_errors=2)
+            cands = []
             for s in starts:
-                raw = raw_bits[s - len(RAW_HEADER):
-                               s + 2 * (FRAME_BITS - 16)]
+                for k in range(self.NFRMS):
+                    p = int(s) + k * stride
+                    if p + 2 * (FRAME_BITS - 16) > len(raw_bits):
+                        break
+                    cands.append(p)
+            cands.sort()
+            done = []
+            for p in cands:
+                # a continuation frame may land a bit or two off another
+                # header's hit; never decode the same frame twice
+                if done and p - done[-1] < stride // 2:
+                    continue
+                done.append(p)
+                raw = raw_bits[p - len(RAW_HEADER):
+                               p + 2 * (FRAME_BITS - 16)]
                 if inv:
                     raw = raw ^ 1
                 if len(raw) < 2 * FRAME_BITS:
@@ -205,8 +229,13 @@ class DFMDecoder:
                 bits = manchester_decode(raw, variant=2)
                 fsoft = None
                 if soft is not None:
-                    sraw = soft[s - len(RAW_HEADER):s + 2 * (FRAME_BITS - 16)]
-                    fsoft = sraw[1::2] * (-1.0 if inv else 1.0)
+                    sraw = soft[p - len(RAW_HEADER):p + 2 * (FRAME_BITS - 16)]
+                    sraw = sraw * (-1.0 if inv else 1.0)
+                    # integrate both Manchester symbols: first half is
+                    # the complement, so the combined statistic is
+                    # second minus first (dfm09mod.c:1685)
+                    fsoft = sraw[1::2] - sraw[0::2]
+                    bits = (fsoft >= 0.0).astype(np.uint8)
                 self.inverted = inv
                 self._frmcnt += 1.0
                 t = self.decode_frame(bits[:FRAME_BITS],

@@ -111,12 +111,19 @@ class MRZDecoder:
                     continue
                 # Manchester1: decoded bit = complement of 2nd raw bit
                 # (mp3h1mod.c:1224-1228: hb ^= 1 when not inverted).
-                # The frame's leading "AA BF" bytes are formed by the
-                # decoded header itself plus the two bits that follow —
-                # the stream starts mid-byte, so prepend the 22 decoded
-                # header bits before packing (cf. mp3h1mod.c:114-129).
+                # With soft values both Manchester symbols are
+                # integrated: s = s2-s1, decoded bit = (s < 0)
+                # (mp3h1mod.c:1208).  The frame's leading "AA BF" bytes
+                # are formed by the decoded header itself plus the two
+                # bits that follow — the stream starts mid-byte, so
+                # prepend the 22 decoded header bits before packing
+                # (cf. mp3h1mod.c:114-129).
                 n = len(raw) // 2 * 2
-                bits = raw[1:n:2] ^ 1
+                if soft is not None and len(soft) >= s + n:
+                    sr = soft[s:s + n] * (-1.0 if inv else 1.0)
+                    bits = (sr[1::2] - sr[0::2] < 0.0).astype(np.uint8)
+                else:
+                    bits = raw[1:n:2] ^ 1
                 hdr_decoded = np.array(
                     [1, 0] * 9 + [1, 1, 1, 1], dtype=np.uint8)
                 t = self.decode_frame_bits(

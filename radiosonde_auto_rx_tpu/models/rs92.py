@@ -228,6 +228,8 @@ class RS92Decoder:
     # ------------------------------------------------------------------ #
 
     def decode_bits(self, raw_bits, soft=None):
+        """Raw 4800 bd Manchester stream (+ optional soft values with
+        positive == raw bit 1) -> telemetry dicts."""
         raw_bits = np.asarray(raw_bits, dtype=np.uint8)
         out = []
         for inv in (False, True):
@@ -240,15 +242,28 @@ class RS92Decoder:
                     raw = raw ^ 1
                 if len(raw) < 20:
                     continue
-                t = self.decode_raw_frame(raw)
+                fsoft = None
+                if soft is not None:
+                    fsoft = soft[s:s + n_data * 20] * (-1.0 if inv else 1.0)
+                t = self.decode_raw_frame(raw, fsoft)
                 if t:
                     out.append(t)
         return out
 
-    def decode_raw_frame(self, raw):
-        """Manchester2 + 8N1 -> frame bytes -> telemetry (or None)."""
+    def decode_raw_frame(self, raw, soft=None):
+        """Manchester2 + 8N1 -> frame bytes -> telemetry (or None).
+
+        With soft values, both Manchester symbols are integrated
+        (s = s2 - s1, rs92mod.c:2016-2022) instead of slicing only the
+        second raw bit -- ~2-3 dB of decode sensitivity."""
         n = len(raw) // 20
-        tenbit = raw[: n * 20].reshape(n, 10, 2)[:, :, 1]  # 2nd raw bit
+        if soft is not None and len(soft) >= n * 20:
+            pairs = np.asarray(soft[: n * 20], dtype=np.float64
+                               ).reshape(n, 10, 2)
+            tenbit = (pairs[:, :, 1] - pairs[:, :, 0] >= 0.0
+                      ).astype(np.uint8)
+        else:
+            tenbit = raw[: n * 20].reshape(n, 10, 2)[:, :, 1]  # 2nd raw bit
         data = (tenbit[:, 1:9] << np.arange(8)[None, :]).sum(axis=1)
         frame = np.zeros(FRAME_LEN, dtype=np.uint8)
         frame[:FRAMESTART] = HEADER_BYTES

@@ -83,7 +83,12 @@ def channelize(x, n_chan: int, h: np.ndarray | None = None):
     Channel k is centered at f_k = k*fs/N for k <= N/2, f_k - fs for
     k > N/2; each channel's output rate is fs/N.
     """
-    if jnp.iscomplexobj(x):
+    if np.iscomplexobj(x) and not isinstance(x, jnp.ndarray):
+        # split host complex on the host: complex buffers never cross
+        # the TPU transfer boundary
+        x = np.asarray(x)
+        x = jnp.asarray(np.stack([x.real, x.imag]).astype(np.float32))
+    elif jnp.iscomplexobj(x):
         x = jnp.stack([x.real, x.imag]).astype(jnp.float32)
     if h is None:
         h = pfb_prototype(n_chan)

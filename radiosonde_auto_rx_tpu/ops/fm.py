@@ -19,6 +19,20 @@ def fm_discriminate(z: jnp.ndarray, gain: float = FM_GAIN) -> jnp.ndarray:
     return (gain / jnp.pi) * jnp.arctan2(w.imag, w.real).astype(jnp.float32)
 
 
+def fm_discriminate_planes(x: jnp.ndarray,
+                           gain: float = FM_GAIN) -> jnp.ndarray:
+    """[..., 2, T] re/im planes -> [..., T] float FM audio.
+
+    Same discriminator as :func:`fm_discriminate` without materializing a
+    complex array (complex buffers never cross the TPU host boundary)."""
+    re, im = x[..., 0, :], x[..., 1, :]
+    rp = jnp.concatenate([re[..., :1], re[..., :-1]], axis=-1)
+    ip = jnp.concatenate([im[..., :1], im[..., :-1]], axis=-1)
+    wr = re * rp + im * ip
+    wi = im * rp - re * ip
+    return (gain / jnp.pi) * jnp.arctan2(wi, wr).astype(jnp.float32)
+
+
 def iq_dc_removal(z: jnp.ndarray, alpha: float | None = None) -> jnp.ndarray:
     """Remove the complex DC term over the block (the reference's iq_dec
     --dc / dft_detect --dc stage, scan/dft_detect.c:546-591 uses a 0.98

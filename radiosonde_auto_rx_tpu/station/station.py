@@ -210,7 +210,13 @@ class Station:
     @staticmethod
     def _wide_planes(x):
         """Normalize wideband input to float32 [2, T] planes (accepts
-        complex [T] or planes — the block sources emit planes)."""
+        complex [T] or planes — the block sources emit planes).  Host
+        complex input is split on the host: complex buffers never cross
+        the TPU transfer boundary."""
+        if np.iscomplexobj(x) and not isinstance(x, jnp.ndarray):
+            x = np.asarray(x)
+            return jnp.asarray(
+                np.stack([x.real, x.imag]).astype(np.float32))
         x = jnp.asarray(x)
         if jnp.iscomplexobj(x):
             return jnp.stack([x.real, x.imag]).astype(jnp.float32)
@@ -368,11 +374,10 @@ class Station:
             fs = chain["resample_to"]
         if chain.get("afsk"):
             # FM-discriminate, then FSK-demod the Bell-202 audio tones
-            from radiosonde_auto_rx_tpu.ops.fm import fm_discriminate
+            from radiosonde_auto_rx_tpu.ops.fm import fm_discriminate_planes
             from radiosonde_auto_rx_tpu.models.imet4 import \
                 afsk_demod_config
-            z = iq[:, 0] + 1j * iq[:, 1]
-            audio = fm_discriminate(z)                    # [K, T]
+            audio = fm_discriminate_planes(iq)            # [K, T]
             planes = jnp.stack([audio, jnp.zeros_like(audio)], axis=1)
             cfg = afsk_demod_config(fs)
             _, bits_b, stats, _ = fsk_demod_stream(cfg, planes)

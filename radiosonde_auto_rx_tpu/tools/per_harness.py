@@ -242,7 +242,7 @@ def _rs92_case(n_frames, rng, workdir):
         f"{o.binary('rs92mod')} --crc --ecc --vel --json --softin -i "
         f"-e {rinex} 2>/dev/null")
     return Case(bits, 48000, 4800, 4800, 0.5, cfg,
-                lambda b, s: dec.decode_bits(b),
+                lambda b, s: dec.decode_bits(b, None if s is None else -s),
                 set(range(100 + w, 100 + w + n_frames)),
                 ref if rinex else None)
 
@@ -261,9 +261,15 @@ def _meisei_case(n_frames, rng, workdir):
     cfg = FSKConfig(fs=48000, rs=2400, m=2, p=5, nsym=300,
                     est_min=-10000, est_max=10000)
     dec = MeiseiDecoder(ref_year=2023)
+    # production chain: reference decode.py:1343-1379
+    ref = lambda o, iq: (
+        f"{o.binary('fsk_demod')} --cs16 -b -15000 -u 15000 -s "
+        f"2 48000 2400 {iq} - 2>/dev/null | "
+        f"{o.binary('meisei100mod')} --softin --json --ptu --ecc "
+        f"2>/dev/null")
     return Case(bits, 48000, 2400, 3600, 1.0, cfg,
                 lambda b, s: dec.decode_bits(b),
-                {16 + 2 * (w + k) for k in range(n_frames)}, None)
+                {16 + 2 * (w + k) for k in range(n_frames)}, ref)
 
 
 CASES = {"RS41": _rs41_case, "DFM": _dfm_case, "M10": _m10_case,
@@ -297,9 +303,9 @@ def run_point(sonde_type: str, ebno_db: float, n_frames: int = 100,
         for chain in chains:
             t0 = time.perf_counter()
             if chain == "tpu":
-                import jax.numpy as jnp
-                soft, bits, stats, _ = fsk_demod_stream(case.cfg,
-                                                        jnp.asarray(iq))
+                # np complex in: iq_planes splits on host (complex never
+                # crosses the TPU transfer boundary)
+                soft, bits, stats, _ = fsk_demod_stream(case.cfg, iq)
                 telems = case.decode(np.asarray(bits), np.asarray(soft))
             else:
                 o = _oracle()
