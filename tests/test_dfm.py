@@ -116,3 +116,43 @@ def test_parity_vs_reference():
         assert o[k] == r[k], f"mismatch {k}: ours={o[k]} ref={r[k]}"
     if "temp" in r:
         assert abs(o.get("temp", -999) - r["temp"]) < 0.11
+
+
+def test_header_corruption_recovered_by_continuation():
+    """A frame whose own header is destroyed must still decode: each
+    header hit seeds NFRMS consecutive frame reads at the frame stride
+    (dfm09mod.c nfrms=8, :1656-1714)."""
+    raw = encode_flight_bits(n_cycles=3)
+    stride = 2 * 280
+    # wreck the raw headers of frames 1..6 (>2-bit errors kills
+    # find_frame_starts for them); they sit inside frame 0's NFRMS=8
+    # continuation window and must still decode
+    noisy = raw.copy()
+    for k in range(1, 7):
+        noisy[k * stride:k * stride + 12] ^= 1
+    telems = DFMDecoder().decode_bits(noisy)
+    assert telems and telems[-1]["id"] == "DFM-21012345"
+
+
+def test_manchester_soft_combining_beats_second_bit():
+    """With soft values, both Manchester halves are integrated
+    (s = s2 - s1, dfm09mod.c:1685): a weakly-wrong second half is
+    overridden by a strongly-right first half."""
+    rng = np.random.default_rng(11)
+    raw = encode_flight_bits(n_cycles=3)
+    soft = raw.astype(np.float32) * 2.0 - 1.0
+    # corrupt 8% of SECOND halves (outside the headers) to a weakly
+    # wrong value; first halves stay confident
+    n_frames = len(raw) // (2 * 280)
+    protected = np.zeros(len(raw), bool)
+    for p in range(0, len(raw), 2 * 280):
+        protected[p:p + 32] = True
+    idx = np.flatnonzero((np.arange(len(raw)) % 2 == 1) & ~protected)
+    bad = rng.choice(idx, size=int(0.08 * len(idx)), replace=False)
+    soft[bad] = -0.2 * (raw[bad] * 2.0 - 1.0)
+    hard = (soft >= 0).astype(np.uint8)
+    # hard second-bit slicing alone fails on this stream
+    assert not DFMDecoder().decode_bits(hard)
+    # combined-soft decoding recovers it
+    telems = DFMDecoder().decode_bits(hard, soft)
+    assert telems and telems[-1]["id"] == "DFM-21012345"

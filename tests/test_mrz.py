@@ -62,3 +62,19 @@ def test_parity_vs_reference():
     for k in ("temp", "humidity"):
         if k in r:
             assert abs(o.get(k, -9999) - r[k]) < 0.11
+
+
+def test_soft_combining_beats_second_bit():
+    """Dual-symbol Manchester1 soft integration (mp3h1mod.c:1208)."""
+    rng = np.random.default_rng(9)
+    raw = encode_flight_bits(snC=30112, snD=21055, lat=55.75, lon=37.62,
+                             alt=15000.0)
+    soft = raw.astype(np.float32) * 2.0 - 1.0
+    idx = np.flatnonzero(np.arange(len(raw)) % 2 == 1)
+    idx = idx[idx > 100]
+    bad = rng.choice(idx, size=int(0.06 * len(idx)), replace=False)
+    soft[bad] = -0.2 * (raw[bad] * 2.0 - 1.0)
+    hard = (soft >= 0).astype(np.uint8)
+    assert MRZDecoder().decode_bits(hard) == []
+    telems = MRZDecoder().decode_bits(hard, soft)
+    assert telems and telems[-1]["id"] == "MRZ-30112-21055"

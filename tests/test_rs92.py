@@ -200,3 +200,21 @@ def test_ngp_parity_vs_reference(tmp_path, ephs):
     if "temp" in r:
         assert abs(r["temp"] - o["temp"]) < 0.2
         assert abs(r["humidity"] - o["humidity"]) < 0.2
+
+
+def test_soft_combining_beats_second_bit(ephs):
+    """Both Manchester symbols are integrated when soft values are given
+    (rs92mod.c:2016-2022): weakly-wrong second halves are overridden by
+    confident first halves."""
+    rng = np.random.default_rng(5)
+    raw = encode_flight_bits(n_frames=2, ephs=ephs, lat=LAT, lon=LON,
+                             alt=ALT)
+    soft = raw.astype(np.float32) * 2.0 - 1.0
+    idx = np.flatnonzero(np.arange(len(raw)) % 2 == 1)
+    idx = idx[idx > 400]                      # keep the header findable
+    bad = rng.choice(idx, size=int(0.10 * len(idx)), replace=False)
+    soft[bad] = -0.2 * (raw[bad] * 2.0 - 1.0)
+    hard = (soft >= 0).astype(np.uint8)
+    assert _decoder(ephs).decode_bits(hard) == []
+    telems = _decoder(ephs).decode_bits(hard, soft)
+    assert telems and abs(telems[0]["lat"] - LAT) < 5e-4
