@@ -87,7 +87,7 @@ class Case:
 # before telemetry is emitted, dfm09mod.c:747-801 — ~5 cycles covers
 # two sightings of both halves under noise).
 WARMUP = {"RS41": 1, "DFM": 5, "M10": 1, "LMS6": 1, "RS92": 2,
-          "MEISEI": 1}
+          "MEISEI": 1, "MRZ": 8, "IMET54": 1}
 
 
 def _idle(n, run=1):
@@ -272,8 +272,65 @@ def _meisei_case(n_frames, rng, workdir):
                 {16 + 2 * (w + k) for k in range(n_frames)}, ref)
 
 
+def _mrz_case(n_frames, rng, workdir):
+    from radiosonde_auto_rx_tpu.models.mrz import (MRZDecoder, encode_frame,
+                                                   frame_to_raw_bits)
+    w = WARMUP["MRZ"]
+    cfgs = [(0xC, 30112), (0xD, 21055), (0xF, 150621), (0x0, 0x3F800000)]
+    slots = []
+    for i in range(n_frames + w):
+        cid, cval = cfgs[i % len(cfgs)]
+        f = encode_frame(cid, 12, 30 + i // 60, i % 60, 55.75, 37.62,
+                         15000.0, cfg32=cval)
+        slots.append(_slot(frame_to_raw_bits(f), 2400, run=4))
+    bits = np.concatenate(slots)
+    # frame identity = gps_cnt; derive the counted ids from a clean
+    # decode (both chains emit the same "frame" convention,
+    # mp3h1mod.c:748 — oracle-parity-tested in tests/test_mrz.py)
+    clean = MRZDecoder().decode_bits(bits)
+    ids = {t["frame"] for t in clean[-n_frames:]}
+    cfg = FSKConfig(fs=48000, rs=2400, m=2, p=5, nsym=300,
+                    est_min=-10000, est_max=10000)
+    dec = MRZDecoder()
+    # production chain: reference decode.py:1256-1292
+    ref = lambda o, iq: (
+        f"{o.binary('fsk_demod')} --cs16 -b -10000 -u 10000 -s "
+        f"2 48000 2400 {iq} - 2>/dev/null | "
+        f"{o.binary('mp3h1mod')} --auto --json --softin --ptu 2>/dev/null")
+    return Case(bits, 48000, 2400, 2400, 0.5, cfg,
+                lambda b, s: dec.decode_bits(b, None if s is None else -s),
+                ids, ref, idle_run=4)
+
+
+def _imet54_case(n_frames, rng, workdir):
+    from radiosonde_auto_rx_tpu.models.imet54 import (IMet54Decoder,
+                                                      encode_frame,
+                                                      encode_raw_bits)
+    w = WARMUP["IMET54"]
+    bits = np.concatenate([
+        _slot(encode_raw_bits(encode_frame(sn=54001234, hh=12,
+                                           mm=30 + i // 60,
+                                           ss=float(i % 60))), 4800,
+              run=4)
+        for i in range(n_frames + w)])
+    ids = {(12 * 3600 + (30 + i // 60) * 60 + i % 60)
+           for i in range(w, n_frames + w)}
+    cfg = FSKConfig(fs=48000, rs=4800, m=2, p=5, nsym=300,
+                    est_min=-10000, est_max=10000)
+    dec = IMet54Decoder()
+    # production chain: reference decode.py:608-655 — imet54mod's own
+    # IQ front-end reads CS16 directly (no fsk_demod stage)
+    ref = lambda o, iq: (
+        f"cat {iq} | {o.binary('imet54mod')} --ecc --IQ 0.0 --lp - "
+        f"48000 16 --json --ptu 2>/dev/null")
+    return Case(bits, 48000, 4800, 4800, 0.5, cfg,
+                lambda b, s: dec.decode_bits(b, None if s is None else -s),
+                ids, ref, idle_run=4)
+
+
 CASES = {"RS41": _rs41_case, "DFM": _dfm_case, "M10": _m10_case,
-         "LMS6": _lms6_case, "RS92": _rs92_case, "MEISEI": _meisei_case}
+         "LMS6": _lms6_case, "RS92": _rs92_case, "MEISEI": _meisei_case,
+         "MRZ": _mrz_case, "IMET54": _imet54_case}
 
 
 def _make_iq(case: Case, ebno_db: float, rng):

@@ -60,3 +60,17 @@ def test_ref_overlay_exact_at_high_snr():
     assert len(rows) == 2
     for r in rows:
         assert r["frames_rx"] == 4, rows
+
+
+def test_mrz_per_cliff():
+    hi = _point("MRZ", 14.0, 5)
+    lo = _point("MRZ", 2.0, 5)
+    assert hi["frames_rx"] >= 3, hi
+    assert lo["frames_rx"] == 0, lo
+
+
+def test_imet54_per_cliff():
+    hi = _point("IMET54", 14.0, 5)
+    lo = _point("IMET54", 2.0, 5)
+    assert hi["frames_rx"] >= 3, hi
+    assert lo["frames_rx"] == 0, lo
