@@ -36,6 +36,19 @@ class RSCode:
             # g *= (X - root) == (X + root) in GF(2^m)
             g = self.gf.poly_mul(g, np.array([root, 1], dtype=np.int64))
         self.g = g
+        # precomputed exponent matrices so syndrome/Chien/Forney
+        # evaluation is one fused gather-XOR instead of a Python loop
+        # per coefficient
+        j = np.arange(self.n)
+        i_r = np.arange(R)[:, None]
+        self._e_syn = ((self.b + i_r) * j[None, :]) % self.gf.n    # [R, N]
+        kk = np.arange(R + 1)[:, None]
+        self._e_chien = (-kk * j[None, :]) % self.gf.n             # [R+1, N]
+        xinv = (-j) % self.gf.n
+        self._e_om = (xinv[None, :] * i_r) % self.gf.n             # [R, N]
+        i2 = np.arange((R + 1) // 2)[:, None]
+        self._e_dl = (xinv[None, :] * (2 * i2)) % self.gf.n        # [t, N]
+        self._enc_basis = None       # lazy [K, R] systematic-parity basis
 
     @property
     def r(self) -> int:
@@ -49,39 +62,51 @@ class RSCode:
     def encode(self, msg: np.ndarray) -> np.ndarray:
         """msg [..., K] -> codeword [..., N] with parity in cw[..., :R].
 
-        Systematic: c(X) = msg(X)*X^R + (msg(X)*X^R mod g(X)).
+        Systematic: c(X) = msg(X)*X^R + (msg(X)*X^R mod g(X)); by
+        linearity parity = XOR_i msg_i · (X^{R+i} mod g), with the basis
+        remainders computed once by long division and cached.
         """
         msg = np.asarray(msg, dtype=np.int64)
         batch = msg.shape[:-1]
         R = self.r
+        if self._enc_basis is None:
+            basis = np.zeros((self.k, R), dtype=np.int64)
+            rem = np.zeros(R, dtype=np.int64)   # X^R mod g, built upward
+            cur = np.zeros(R, dtype=np.int64)
+            # cur = X^{R+i} mod g via repeated multiply-by-X reduction
+            cur[0] = 1                           # start at X^0... shifted
+            # compute X^R mod g first
+            for _ in range(R):
+                fb = cur[-1]
+                cur[1:] = cur[:-1]
+                cur[0] = 0
+                cur ^= self.gf.mul(fb, self.g[:R])
+            for i in range(self.k):
+                basis[i] = cur
+                fb = cur[-1]
+                cur = np.concatenate([[0], cur[:-1]])
+                cur ^= self.gf.mul(fb, self.g[:R])
+            self._enc_basis = basis
+        B = self._enc_basis                      # [K, R]
+        nz = (msg[..., None] != 0) & (B != 0)
+        terms = np.where(
+            nz, self.gf.exp[self.gf.log[msg][..., None] + self.gf.log[B]],
+            0)                                   # [..., K, R]
+        parity = np.bitwise_xor.reduce(terms, axis=-2)
         cw = np.zeros(batch + (self.n,), dtype=np.int64)
         cw[..., R:] = msg
-        # long division: process message coefficients from the top down
-        rem = np.zeros(batch + (R,), dtype=np.int64)
-        for i in range(self.n - 1, R - 1, -1):
-            fb = rem[..., -1] ^ cw[..., i]
-            rem[..., 1:] = rem[..., :-1]
-            rem[..., 0] = 0
-            # rem ^= fb * g[:R]  (g monic: top term handled by the shift)
-            rem ^= self.gf.mul(fb[..., None], self.g[:R])
-        cw[..., :R] = rem
+        cw[..., :R] = parity
         return cw
 
     # ------------------------------------------------------------------
     def syndromes(self, cw: np.ndarray) -> np.ndarray:
         """S[..., i] = c(beta^(b+i)), i = 0..R-1."""
         cw = np.asarray(cw, dtype=np.int64)
-        R = self.r
-        # S_i = XOR_j cw[j] * beta^((b+i)*j): exponent matrix gather
-        j = np.arange(self.n)
-        S = np.zeros(cw.shape[:-1] + (R,), dtype=np.int64)
-        logc = self.gf.log[cw]
-        nz = cw != 0
-        for i in range(R):
-            e = ((self.b + i) * j) % self.gf.n
-            terms = np.where(nz, self.gf.exp[logc + e], 0)
-            S[..., i] = np.bitwise_xor.reduce(terms, axis=-1)
-        return S
+        # S_i = XOR_j cw[j] * beta^((b+i)*j): one [.., R, N] gather-XOR
+        logc = self.gf.log[cw][..., None, :]
+        terms = np.where((cw != 0)[..., None, :],
+                         self.gf.exp[logc + self._e_syn], 0)
+        return np.bitwise_xor.reduce(terms, axis=-1)
 
     # ------------------------------------------------------------------
     def decode(self, cw: np.ndarray, erase_pos: np.ndarray | None = None,
@@ -111,6 +136,11 @@ class RSCode:
 
         S = self.syndromes(cw)                       # [..., R]
         all_zero = ~np.any(S != 0, axis=-1)          # already a codeword
+        if (erase_pos is None or not erase_pos.size) and bool(
+                np.all(all_zero)):
+            # clean batch: skip BM/Chien/Forney entirely (the common
+            # case; mirrors the reference's errors==0 early return)
+            return np.zeros(batch, dtype=np.int64)
 
         # erasure locator Gamma(x) = prod (1 - X_j x), deg counts per row
         E = 0 if erase_pos is None else erase_pos.shape[-1]
@@ -136,10 +166,9 @@ class RSCode:
         m = np.ones(batch, dtype=np.int64)
         for r_it in range(R):
             step_active = r_it >= rho                # [...]
-            # discrepancy Delta = sum_i Lam_i * S_{r-i}
-            delta = np.zeros(batch, dtype=np.int64)
-            for i in range(min(r_it, R) + 1):
-                delta ^= gf.mul(Lam[..., i], S[..., r_it - i])
+            # discrepancy Delta = sum_i Lam_i * S_{r-i} (one fused mul)
+            delta = np.bitwise_xor.reduce(
+                gf.mul(Lam[..., :r_it + 1], S[..., r_it::-1]), axis=-1)
             upd = step_active & (delta != 0)
             grow = upd & (2 * L <= r_it + rho)
             # shift = x^m * B
@@ -162,43 +191,34 @@ class RSCode:
             L = np.where(grow, newL, L)
             m = np.where(grow, 1, np.where(step_active, m + 1, m))
 
-        # Chien search: roots of Lambda at X_j^{-1}, X_j = beta^j
+        # Chien search: V[..., j] = Lambda(beta^{-j}) via one gather-XOR
         j = np.arange(self.n)
-        # V[..., j] = Lambda(beta^{-j})
-        V = np.zeros(batch + (self.n,), dtype=np.int64)
-        for kk in range(R + 1):
-            lk = Lam[..., kk]
-            e = (-kk * j) % gf.n
-            V ^= np.where(lk[..., None] != 0,
-                          gf.exp[gf.log[lk][..., None] + e[None, :]], 0)
+        V = np.bitwise_xor.reduce(
+            np.where((Lam != 0)[..., None],
+                     gf.exp[gf.log[Lam][..., None] + self._e_chien], 0),
+            axis=-2)
         is_root = (V == 0)                            # [..., N]
         n_roots = is_root.sum(axis=-1)
 
         # Forney: Omega(x) = S(x)Lambda(x) mod x^R
         Om = np.zeros(batch + (R,), dtype=np.int64)
         for i in range(R):
-            acc = np.zeros(batch, dtype=np.int64)
-            for kk in range(min(i, R) + 1):
-                acc ^= gf.mul(Lam[..., kk], S[..., i - kk])
-            Om[..., i] = acc
+            Om[..., i] = np.bitwise_xor.reduce(
+                gf.mul(Lam[..., :i + 1], S[..., i::-1]), axis=-1)
         # Lambda'(x): odd coefficients
         dLam = Lam[..., 1::2]                          # coeffs of x^{2i}
         # error value at j: e_j = X_j^{1-b} * Om(X_j^{-1}) / Lam'(X_j^{-1})
-        Xinv_e = (-j) % gf.n                           # exponents of X_j^{-1}
-        ev = np.zeros(batch + (self.n,), dtype=np.int64)
-        om_v = np.zeros(batch + (self.n,), dtype=np.int64)
-        for i in range(R):
-            oi = Om[..., i]
-            e = (Xinv_e * i) % gf.n
-            om_v ^= np.where(oi[..., None] != 0,
-                             gf.exp[gf.log[oi][..., None] + e[None, :]], 0)
-        dl_v = np.zeros(batch + (self.n,), dtype=np.int64)
-        for i2 in range(dLam.shape[-1]):
-            di = dLam[..., i2]
-            e = (Xinv_e * (2 * i2)) % gf.n
-            dl_v ^= np.where(di[..., None] != 0,
-                             gf.exp[gf.log[di][..., None] + e[None, :]], 0)
+        om_v = np.bitwise_xor.reduce(
+            np.where((Om != 0)[..., None],
+                     gf.exp[gf.log[Om][..., None] + self._e_om], 0),
+            axis=-2)
+        dl_v = np.bitwise_xor.reduce(
+            np.where((dLam != 0)[..., None],
+                     gf.exp[gf.log[dLam][..., None]
+                            + self._e_dl[:dLam.shape[-1]]], 0),
+            axis=-2)
         Xpow = gf.pow_beta((1 - self.b) * j)           # X_j^{1-b}
+        ev = np.zeros(batch + (self.n,), dtype=np.int64)
         ev = gf.mul(Xpow[None, :] if ev.ndim > 1 else Xpow,
                     gf.div(om_v, np.where(dl_v == 0, 1, dl_v)))
         ev = np.where(is_root & (dl_v != 0), ev, 0)

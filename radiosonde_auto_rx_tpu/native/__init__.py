@@ -73,6 +73,8 @@ def _load():
                                     ctypes.c_size_t]
         lib.rsx_soft_to_bits.argtypes = [f32p, u8p, ctypes.c_size_t,
                                          ctypes.c_int]
+        lib.rsx_viterbi_k7.restype = ctypes.c_int
+        lib.rsx_viterbi_k7.argtypes = [f32p, ctypes.c_int64, u8p]
         _lib = lib
     return _lib
 
@@ -143,6 +145,19 @@ def find_headers(bits01: np.ndarray, header01: np.ndarray, max_errors: int,
                         err.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                         max_out)
     return pos[:k].copy(), err[:k].copy()
+
+
+def viterbi_k7(soft_pairs: np.ndarray) -> np.ndarray:
+    """Rate-1/2 K=7 soft Viterbi (LMS6): soft pairs [2T] -> hard bits [T].
+    Same trellis/decisions as ecc.viterbi.viterbi_decode."""
+    lib = _load()
+    s = np.ascontiguousarray(soft_pairs, dtype=np.float32)
+    T = len(s) // 2
+    out = np.empty(T, np.uint8)
+    if lib.rsx_viterbi_k7(_as_ptr(s, ctypes.c_float), len(s),
+                          _as_ptr(out, ctypes.c_uint8)) != 0:
+        raise MemoryError("viterbi traceback alloc failed")
+    return out
 
 
 def soft_to_bits(soft: np.ndarray, invert: bool = False) -> np.ndarray:

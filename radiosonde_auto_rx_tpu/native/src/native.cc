@@ -22,6 +22,7 @@
 #include <chrono>
 #include <cstdint>
 #include <cstring>
+#include <new>
 #include <thread>
 
 #include <poll.h>
@@ -298,6 +299,67 @@ void rsx_soft_to_bits(const float* soft, uint8_t* bits, size_t n,
     } else {
         for (size_t i = 0; i < n; i++) bits[i] = soft[i] > 0.0f;
     }
+}
+
+// ---------------------------------------------------------------------------
+// Rate-1/2 K=7 soft Viterbi (LMS6 conv code)
+// ---------------------------------------------------------------------------
+
+// Same trellis as ecc/viterbi.py (polys 0x4F/0x6D per reference
+// demod/mod/lms6Xmod.c:115-117): extended index n = 2*state + bit (7 bits),
+// expected pair (cA,cB) = parity(POLY&n).  Branch metric uses the
+// correlation form -(cA'*sA + cB'*sB), which differs from the python
+// squared-distance metric only by a per-step constant common to all
+// branches — identical decisions.  soft: [2T] floats; out: [T] hard bits.
+// Returns 0 on success, -1 on alloc failure.
+int rsx_viterbi_k7(const float* soft, int64_t npairs, uint8_t* out) {
+    const int M = 64;
+    static uint8_t code[2 * M];
+    static int init = 0;
+    if (!init) {
+        for (int n = 0; n < 2 * M; n++) {
+            int a = __builtin_parity(0x4F & n);
+            int b = __builtin_parity(0x6D & n);
+            code[n] = uint8_t((a << 1) | b);
+        }
+        init = 1;
+    }
+    int64_t T = npairs / 2;
+    if (T <= 0) return 0;
+    uint8_t* back = new (std::nothrow) uint8_t[size_t(T) * M];
+    if (!back) return -1;
+    float pw[M], npw[M];
+    const float INF = 1e30f;
+    for (int k = 1; k < M; k++) pw[k] = INF;
+    pw[0] = 0.0f;
+    for (int64_t t = 0; t < T; t++) {
+        float sA = soft[2 * t], sB = soft[2 * t + 1];
+        // bm[(a<<1)|b] = -((2a-1)*sA + (2b-1)*sB)
+        float bm[4] = {sA + sB, sA - sB, -sA + sB, -sA - sB};
+        uint8_t* bt = back + size_t(t) * M;
+        for (int k = 0; k < M; k++) {
+            float lo = pw[k >> 1] + bm[code[k]];
+            float hi = pw[(k + M) >> 1] + bm[code[k + M]];
+            if (hi < lo) {
+                npw[k] = hi;
+                bt[k] = uint8_t(k + M);
+            } else {
+                npw[k] = lo;
+                bt[k] = uint8_t(k);
+            }
+        }
+        memcpy(pw, npw, sizeof(pw));
+    }
+    int j = 0;
+    for (int k = 1; k < M; k++)
+        if (pw[k] < pw[j]) j = k;
+    for (int64_t t = T - 1; t >= 0; t--) {
+        uint8_t ext = back[size_t(t) * M + j];
+        out[t] = ext & 1;
+        j = ext >> 1;
+    }
+    delete[] back;
+    return 0;
 }
 
 int rsx_abi_version(void) { return 1; }

@@ -39,7 +39,7 @@ from radiosonde_auto_rx_tpu.tools import per_harness
 # frame-plane model name + constructor kwargs per harness type
 _MODEL = {"RS41": ("RS41", {}), "DFM": ("DFM", {}), "M10": ("M10", {}),
           "LMS6": ("LMS6", {}), "MEISEI": ("MEISEI", {}),
-          "MRZ": ("MRZ", {}), "IMET54": ("IMET54", {})}
+          "MRZ": ("MRZ", {}), "IMET54": ("IMET5", {})}
 
 
 def bench_type(sonde_type, channels, rounds, workers, n_frames=20,
