@@ -87,37 +87,76 @@ def hamming_decode_byte(cwb):
     return int(nib), err
 
 
+_CRC_WALK = None    # (n_seq, b_seq, c0_seq, c1_seq, include) — the LFSR
+                    # state walk is data-independent, so precompute it once
+                    # and reduce with one masked XOR per check
+
+
+def _crc_walk():
+    global _CRC_WALK
+    if _CRC_WALK is None:
+        poly0, poly1 = 0x0EDB, 0x8260
+        n, b = 104, 0
+        c0, c1 = 0x48EB, 0x1ACA
+        ns, bs, c0s, c1s = [], [], [], []
+        while n >= 0:
+            ns.append(n)
+            bs.append(b)
+            c0s.append(c0)
+            c1s.append(c1)
+            nx_c0, nx_c1 = c0, c1
+            if c1 & 0x8000:
+                nx_c0 ^= poly0
+                nx_c1 ^= poly1
+            nx_c0 = (nx_c0 << 1) & 0xFFFF
+            nx_c1 = (nx_c1 << 1) & 0xFFFF
+            if c1 & 0x8000:
+                nx_c0 |= 1
+            if (c1 ^ c0) & 0x8000:
+                nx_c1 |= 1
+            c0, c1 = nx_c0, nx_c1
+            if b < 7:
+                b += 1
+            else:
+                b = 0
+                n = n - 7 if n % 4 == 3 else n + 1
+        ns = np.array(ns)
+        inc = (ns < 100) | ((ns > 101) & (ns < 106))
+        _CRC_WALK = (ns, np.array(bs), np.array(c0s), np.array(c1s), inc)
+    return _CRC_WALK
+
+
+_HAM_TABS = None    # 256-entry (nibble, err) decode tables
+
+
+def hamming_decode_bytes(cw_vals):
+    """Vectorized hamming_decode_byte over an array of 8-bit codeword
+    values (LSB-first bit packing): returns (nibs, errs)."""
+    global _HAM_TABS
+    if _HAM_TABS is None:
+        nib_t = np.zeros(256, dtype=np.uint8)
+        err_t = np.zeros(256, dtype=np.int32)
+        w = (1 << np.arange(8)).astype(np.uint8)
+        for v in range(256):
+            cwb = ((v >> np.arange(8)) & 1).astype(np.uint8)
+            nib_t[v], err_t[v] = hamming_decode_byte(cwb)
+        _HAM_TABS = (nib_t, err_t)
+    nib_t, err_t = _HAM_TABS
+    cw_vals = np.asarray(cw_vals, dtype=np.int64)
+    return nib_t[cw_vals], err_t[cw_vals]
+
+
 def crc32ok(frame):
     """Paired 16-bit LFSR check over the std frame (imet54mod.c:228-280)."""
-    poly0, poly1 = 0x0EDB, 0x8260
-    n, b = 104, 0
-    c0, c1 = 0x48EB, 0x1ACA
     if len(frame) < FRAME_LEN_BYTES:
         return False
+    ns, bs, c0s, c1s, inc = _crc_walk()
     data_c0 = (int(frame[100]) << 8) | int(frame[101])
     data_c1 = (int(frame[106]) << 8) | int(frame[107])
-    crc0 = crc1 = 0
-    while n >= 0:
-        if n < 100 or (101 < n < 106):
-            if (int(frame[n]) >> b) & 1:
-                crc0 ^= c0
-                crc1 ^= c1
-        nx_c0, nx_c1 = c0, c1
-        if c1 & 0x8000:
-            nx_c0 ^= poly0
-            nx_c1 ^= poly1
-        nx_c0 = (nx_c0 << 1) & 0xFFFF
-        nx_c1 = (nx_c1 << 1) & 0xFFFF
-        if c1 & 0x8000:
-            nx_c0 |= 1
-        if (c1 ^ c0) & 0x8000:
-            nx_c1 |= 1
-        c0, c1 = nx_c0, nx_c1
-        if b < 7:
-            b += 1
-        else:
-            b = 0
-            n = n - 7 if n % 4 == 3 else n + 1
+    f = np.asarray(frame, dtype=np.int64)
+    sel = inc & (((f[ns] >> bs) & 1) != 0)
+    crc0 = int(np.bitwise_xor.reduce(np.where(sel, c0s, 0)))
+    crc1 = int(np.bitwise_xor.reduce(np.where(sel, c1s, 0)))
     crc0 ^= data_c0 ^ 0x5000
     crc1 ^= data_c1 ^ 0x1DAD
     return crc1 == 0 and (crc0 & 0xF000) == 0
@@ -213,20 +252,15 @@ class IMet54Decoder:
             return None
         bits = deinter64(bits8n1[OFS_BITS:])
         ncw = len(bits) // 8
-        nibs = np.zeros(ncw, dtype=np.uint8)
-        ec = np.zeros(ncw, dtype=np.int32)
-        for j in range(ncw):
-            nibs[j], ec[j] = hamming_decode_byte(bits[8 * j:8 * j + 8])
+        vals = bits[:8 * ncw].reshape(ncw, 8).astype(np.int64) @ (
+            1 << np.arange(8))
+        nibs, ec = hamming_decode_bytes(vals)
         nbytes = ncw // 2
         frame = ((nibs[0:2 * nbytes:2] << 4) |
                  (nibs[1:2 * nbytes:2] & 0xF)).astype(np.uint8)
 
-        ecc_frm = 0
-        for j in range(min(2 * POS_CRC32CONT, ncw)):
-            if ec[j] > 0x10:
-                ecc_frm = -1
-                break
-            ecc_frm += ec[j]
+        ecseg = ec[:min(2 * POS_CRC32CONT, ncw)]
+        ecc_frm = -1 if (ecseg > 0x10).any() else int(ecseg.sum())
         return self.decode_frame(frame, ecc_frm)
 
     def decode_frame(self, frame, ecc_frm=0):
