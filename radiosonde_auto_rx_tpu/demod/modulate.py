@@ -34,7 +34,8 @@ def fsk_mod(bits: np.ndarray, fs: int, rs: int, m: int, f1: float,
 
 
 def gfsk_mod(bits: np.ndarray, fs: int, rs: int, m: int, f_centre: float,
-             tone_spacing: float, bt: float = 0.5) -> np.ndarray:
+             tone_spacing: float, bt: float = 0.5,
+             ppm: float = 0.0) -> np.ndarray:
     """Gaussian-shaped M-FSK (what real sondes transmit, e.g. RS41 BT=0.5).
 
     Frequency pulse = rect(Ts) convolved with a Gaussian of
@@ -44,7 +45,17 @@ def gfsk_mod(bits: np.ndarray, fs: int, rs: int, m: int, f_centre: float,
     ts = fs // rs
     syms = bits_to_symbols(bits, m).astype(np.float64)
     dev = (syms - (m - 1) / 2.0) * tone_spacing        # centered deviations
-    finst = np.repeat(dev, ts)
+    if ppm:
+        # real transmitters are never exactly on the receiver's sample
+        # grid; a clock offset keeps symbol edges sweeping across sample
+        # boundaries instead of sitting degenerately on them
+        rs_eff = rs * (1.0 + ppm * 1e-6)
+        n = int(len(syms) * fs / rs_eff)
+        idx = np.minimum((np.arange(n) * (rs_eff / fs)).astype(np.int64),
+                         len(syms) - 1)
+        finst = dev[idx]
+    else:
+        finst = np.repeat(dev, ts)
     # Gaussian smoothing of the frequency trajectory
     sigma = math.sqrt(math.log(2.0)) / (2.0 * math.pi * bt) * ts
     klen = int(8 * sigma) | 1

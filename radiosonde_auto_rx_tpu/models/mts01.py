@@ -135,7 +135,12 @@ def encode_frame(sid="T1234567", frnr=321, date=(2023, 5, 17),
            f"{rawRH:.1f}")
     payload = csv.encode("ascii")
     assert len(payload) <= DATLEN
-    data = payload + b"\x00" * (DATLEN - len(payload))
+    # pad with clock-rich printable filler, not NULs: 40+ zero bytes of
+    # constant tone starve the demod's symbol-clock tracking (the real
+    # sonde's CSV fills most of the 128-byte field).  'U' = 0x55 keeps
+    # bit-rate alternation; both parsers only read the CSV fields before
+    # the pad.
+    data = payload + b"U" * (DATLEN - len(payload))
     frame = np.zeros(FRAMELEN, dtype=np.uint8)
     frame[0] = 0x80
     frame[OFS:OFS + DATLEN] = np.frombuffer(data, np.uint8)

@@ -151,10 +151,17 @@ class WeathexPN9Decoder(WeathexDecoder):
 # --------------------------------------------------------------------------- #
 
 def encode_frame(frid, sn=30112233, cnt=777, time=(10, 20, 30),
-                 lat=3.15, lon=101.7, alt=12345.6, pn9=False):
+                 lat=3.15, lon=101.7, alt=12345.6, pn9=False,
+                 fill=True):
     ofs = OFS_PN9 if pn9 else OFS
     hdr = HEADER_PN9 if pn9 else HEADER
     frame = np.zeros(FRAMELEN, dtype=np.uint8)
+    if fill:
+        # unread payload bytes carry pseudo-random data (real sondes
+        # transmit PTU/status there) — an all-zero run is 30+ bytes of
+        # constant tone, which starves any demod's clock tracking
+        fr = np.random.default_rng(int(sn) * 131 + int(cnt) * 7 + frid)
+        frame[:] = fr.integers(0, 256, FRAMELEN)
     hb = np.array([int(c) for c in hdr], dtype=np.uint8)
     frame[:5] = (hb.reshape(5, 8) << np.arange(7, -1, -1)[None, :]).sum(1)
     x = frame.copy()

@@ -79,6 +79,8 @@ class Case:
     tx_ids: set                  # counted frame identities (no warmup)
     ref_cmd: callable = None     # (oracle, iq_path) -> shell pipeline
     idle_run: int = 1            # idle = runs of this many 1s then 0s
+    ppm: float = 0.0             # TX clock offset (real sondes are never
+                                 # exactly on the receiver sample grid)
 
 
 # Warmup frames per type: demod freq/timing convergence plus decoder
@@ -87,7 +89,7 @@ class Case:
 # before telemetry is emitted, dfm09mod.c:747-801 — ~5 cycles covers
 # two sightings of both halves under noise).
 WARMUP = {"RS41": 1, "DFM": 5, "M10": 1, "LMS6": 1, "RS92": 2,
-          "MEISEI": 1, "MRZ": 8, "IMET54": 1}
+          "MEISEI": 1, "MRZ": 8, "IMET54": 1, "MTS01": 1, "WXR301": 1}
 
 
 def _idle(n, run=1):
@@ -328,9 +330,67 @@ def _imet54_case(n_frames, rng, workdir):
                 ids, ref, idle_run=4)
 
 
+def _mts01_case(n_frames, rng, workdir):
+    from radiosonde_auto_rx_tpu.models.mts01 import (MTS01Decoder,
+                                                     encode_frame,
+                                                     frame_to_bits)
+    w = WARMUP["MTS01"]
+    bits = np.concatenate([
+        _slot(frame_to_bits(encode_frame(frnr=100 + i,
+                                         time=(10, 45, i % 60))), 1200,
+              run=4)
+        for i in range(n_frames + w)])
+    cfg = FSKConfig(fs=48000, rs=1200, m=2, p=5, nsym=300,
+                    est_min=-5000, est_max=5000)
+    dec = MTS01Decoder()
+    # production chain: reference decode.py:758-781 — mts01mod's own IQ
+    # front-end reads CS16 directly (no fsk_demod stage)
+    ref = lambda o, iq: (
+        f"cat {iq} | {o.binary('mts01mod')} --json --IQ 0.0 --lpIQ --dc "
+        f"- 48000 16 2>/dev/null")
+    return Case(bits, 48000, 1200, 2400, 1.0, cfg,
+                lambda b, s: dec.decode_bits(b, None if s is None else -s),
+                set(range(100 + w, 100 + w + n_frames)), ref, idle_run=4,
+                ppm=75.0)
+
+
+def _wxr301_case(n_frames, rng, workdir):
+    from radiosonde_auto_rx_tpu.models.weathex import (WeathexDecoder,
+                                                       encode_frame,
+                                                       frame_to_bits)
+    w = WARMUP["WXR301"]
+    slots = []
+    for i in range(n_frames + w):
+        # one telemetry packet = subframe pair (frid 1 then 2) sharing
+        # sn/cnt (weathex301d.c sub1 latch; models/weathex.py:96-120)
+        pair = np.concatenate([
+            frame_to_bits(encode_frame(1, cnt=700 + i,
+                                       time=(10, 20, i % 60))),
+            _idle(120, 4),
+            frame_to_bits(encode_frame(2, cnt=700 + i,
+                                       time=(10, 20, i % 60)))])
+        slots.append(_slot(pair, 4800, run=4))
+    bits = np.concatenate(slots)
+    cfg = FSKConfig(fs=96000, rs=4800, m=2, p=5, nsym=300,
+                    est_min=-55000, est_max=55000, tone_spacing=50000,
+                    freq_est_type=1)
+    dec = WeathexDecoder()
+    # production chain: reference decode.py:1385-1423 (96 kHz IQ,
+    # masked estimator, soft-decision inverted)
+    ref = lambda o, iq: (
+        f"{o.binary('fsk_demod')} --cs16 -b -40000 -u 40000 -s "
+        f"--mask 50000 2 96000 4800 {iq} - 2>/dev/null | "
+        f"{o.binary('weathex301d')} --softin -i --json 2>/dev/null")
+    return Case(bits, 96000, 4800, 50000, 1.0, cfg,
+                lambda b, s: dec.decode_bits(b),
+                set(range(700 + w, 700 + w + n_frames)), ref, idle_run=4,
+                ppm=75.0)
+
+
 CASES = {"RS41": _rs41_case, "DFM": _dfm_case, "M10": _m10_case,
          "LMS6": _lms6_case, "RS92": _rs92_case, "MEISEI": _meisei_case,
-         "MRZ": _mrz_case, "IMET54": _imet54_case}
+         "MRZ": _mrz_case, "IMET54": _imet54_case, "MTS01": _mts01_case,
+         "WXR301": _wxr301_case}
 
 
 def _make_iq(case: Case, ebno_db: float, rng):
@@ -340,8 +400,8 @@ def _make_iq(case: Case, ebno_db: float, rng):
     tail = _idle(1400, case.idle_run)
     tx = np.concatenate([idle, case.tx_bits, tail])
     return add_awgn(gfsk_mod(tx, case.fs, case.rs, 2, 0.0, case.spacing,
-                             bt=case.bt), ebno_db, case.fs, case.rs,
-                    rng=rng)
+                             bt=case.bt, ppm=case.ppm), ebno_db, case.fs,
+                    case.rs, rng=rng)
 
 
 def run_point(sonde_type: str, ebno_db: float, n_frames: int = 100,
