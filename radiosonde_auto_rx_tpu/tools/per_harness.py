@@ -321,9 +321,12 @@ def _imet54_case(n_frames, rng, workdir):
                     est_min=-10000, est_max=10000)
     dec = IMet54Decoder()
     # production chain: reference decode.py:608-655 — imet54mod's own
-    # IQ front-end reads CS16 directly (no fsk_demod stage)
+    # IQ front-end reads CS16 directly (no fsk_demod stage).  decode.py
+    # :632 passes "--lp", which the in-tree imet54mod does not parse
+    # (it errors "open --lp"); the matching IF-lowpass flag is --lpIQ
+    # (imet54mod.c:837).
     ref = lambda o, iq: (
-        f"cat {iq} | {o.binary('imet54mod')} --ecc --IQ 0.0 --lp - "
+        f"cat {iq} | {o.binary('imet54mod')} --ecc --IQ 0.0 --lpIQ - "
         f"48000 16 --json --ptu 2>/dev/null")
     return Case(bits, 48000, 4800, 4800, 0.5, cfg,
                 lambda b, s: dec.decode_bits(b, None if s is None else -s),
