@@ -59,12 +59,26 @@ def bch_encode(data_bits):
     return cw
 
 
+# per-bit-position syndrome contributions: S_i = XOR_j cw[j]·alpha^(i·j)
+_J = np.arange(N)
+_T1 = EXP[_J % N].astype(np.int64)            # alpha^j
+_T3 = EXP[(3 * _J) % N].astype(np.int64)      # alpha^(3j)
+_A1 = EXP[_J].astype(np.int64)                # Chien: alpha^j
+_A2 = EXP[(2 * _J) % N].astype(np.int64)      # alpha^(2j)
+_LOGV = LOG.astype(np.int64)
+
+
 def _syndrome(cw, i):
-    """S_i = c(alpha^i)."""
-    s = 0
-    for j in np.flatnonzero(cw):
-        s ^= int(EXP[(i * int(j)) % N])
-    return s
+    """S_i = c(alpha^i) — one masked XOR-reduce."""
+    t = _T1 if i == 1 else _T3
+    c = cw if len(cw) >= N else np.pad(cw, (0, N - len(cw)))
+    return int(np.bitwise_xor.reduce(np.where(c[:N] != 0, t, 0)))
+
+
+def _gmul_vec(s, v):
+    """Scalar s (nonzero) times vector v over GF(64)."""
+    out = EXP[_LOGV[v] + LOG[s]]
+    return np.where(v == 0, 0, out)
 
 
 def bch_decode(cw):
@@ -84,19 +98,18 @@ def bch_decode(cw):
             pos = LOG[s1]
             cw[pos] ^= 1
             return cw, 1
-        # two errors: sigma(x) = 1 + s1 x + (s3/s1 + s1^2) x^2
+        # two errors: sigma(x) = 1 + s1 x + (s3/s1 + s1^2) x^2;
+        # Chien search vectorized over all 63 candidate roots
         sig1 = s1
         sig2 = _gdiv(s3, s1) ^ _gmul(s1, s1)
-        roots = []
-        for j in range(N):
-            a = int(EXP[j])
-            v = 1 ^ _gmul(sig1, a) ^ _gmul(sig2, _gmul(a, a))
-            if v == 0:
-                roots.append(j)
+        v = 1 ^ _gmul_vec(sig1, _A1)
+        if sig2:
+            v ^= _gmul_vec(sig2, _A2)
+        roots = np.flatnonzero(v == 0)
         if len(roots) == 2:
             # error positions are inverse roots
             for r in roots:
-                cw[(N - r) % N] ^= 1
+                cw[(N - int(r)) % N] ^= 1
             if _syndrome(cw, 1) == 0 and _syndrome(cw, 3) == 0:
                 return cw, 2
         return cw, -1
