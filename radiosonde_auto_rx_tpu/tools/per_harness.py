@@ -89,7 +89,8 @@ class Case:
 # before telemetry is emitted, dfm09mod.c:747-801 — ~5 cycles covers
 # two sightings of both halves under noise).
 WARMUP = {"RS41": 1, "DFM": 5, "M10": 1, "LMS6": 1, "RS92": 2,
-          "MEISEI": 1, "MRZ": 8, "IMET54": 1, "MTS01": 1, "WXR301": 1}
+          "MEISEI": 1, "MRZ": 8, "IMET54": 1, "MTS01": 1, "WXR301": 1,
+          "RD94RD41": 1}
 
 
 def _idle(n, run=1):
@@ -353,8 +354,7 @@ def _mts01_case(n_frames, rng, workdir):
         f"- 48000 16 2>/dev/null")
     return Case(bits, 48000, 1200, 2400, 1.0, cfg,
                 lambda b, s: dec.decode_bits(b, None if s is None else -s),
-                set(range(100 + w, 100 + w + n_frames)), ref, idle_run=4,
-                ppm=75.0)
+                set(range(100 + w, 100 + w + n_frames)), ref, idle_run=4)
 
 
 def _wxr301_case(n_frames, rng, workdir):
@@ -386,14 +386,37 @@ def _wxr301_case(n_frames, rng, workdir):
         f"{o.binary('weathex301d')} --softin -i --json 2>/dev/null")
     return Case(bits, 96000, 4800, 50000, 1.0, cfg,
                 lambda b, s: dec.decode_bits(b),
-                set(range(700 + w, 700 + w + n_frames)), ref, idle_run=4,
-                ppm=75.0)
+                set(range(700 + w, 700 + w + n_frames)), ref, idle_run=4)
+
+
+def _rd94_case(n_frames, rng, workdir):
+    from radiosonde_auto_rx_tpu.models.dropsonde import (DropsondeDecoder,
+                                                         encode_frame_rd94,
+                                                         frames_to_raw_bits)
+    w = WARMUP["RD94RD41"]
+    # dropsondes transmit continuously: consecutive frames chain without
+    # idle (frames_to_raw_bits inserts the shared [1A CF] sync)
+    frames = [encode_frame_rd94(frnr=100 + i, lat=25.1, lon=-80.3,
+                                alt=4000.0 - 3.0 * i)
+              for i in range(n_frames + w)]
+    bits = frames_to_raw_bits(frames)
+    cfg = FSKConfig(fs=48000, rs=4800, m=2, p=5, nsym=300,
+                    est_min=-20000, est_max=20000)
+    dec = DropsondeDecoder()
+    # production chain: reference decode.py:993-1029
+    ref = lambda o, iq: (
+        f"{o.binary('fsk_demod')} --cs16 -b -20000 -u 20000 -s "
+        f"2 48000 4800 {iq} - 2>/dev/null | "
+        f"{o.binary('rd94rd41drop')} --json --softinv 2>/dev/null")
+    return Case(bits, 48000, 4800, 10000, 1.0, cfg,
+                lambda b, s: dec.decode_bits(b, None if s is None else -s),
+                set(range(100 + w, 100 + w + n_frames)), ref)
 
 
 CASES = {"RS41": _rs41_case, "DFM": _dfm_case, "M10": _m10_case,
          "LMS6": _lms6_case, "RS92": _rs92_case, "MEISEI": _meisei_case,
          "MRZ": _mrz_case, "IMET54": _imet54_case, "MTS01": _mts01_case,
-         "WXR301": _wxr301_case}
+         "WXR301": _wxr301_case, "RD94RD41": _rd94_case}
 
 
 def _make_iq(case: Case, ebno_db: float, rng):
