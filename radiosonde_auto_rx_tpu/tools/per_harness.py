@@ -295,7 +295,11 @@ def _mrz_case(n_frames, rng, workdir):
     cfg = FSKConfig(fs=48000, rs=2400, m=2, p=5, nsym=300,
                     est_min=-10000, est_max=10000)
     dec = MRZDecoder()
-    # production chain: reference decode.py:1256-1292
+    # reference decode.py:1256-1293 (fsk_demod split chain).  MRZ's
+    # production *default* is the standard IQ chain (config.py:447
+    # experimental=False), but that chain's cliff measures >14 dB worse
+    # here — the split chain is the stronger reference, so overlay
+    # against it (conservative comparison).
     ref = lambda o, iq: (
         f"{o.binary('fsk_demod')} --cs16 -b -10000 -u 10000 -s "
         f"2 48000 2400 {iq} - 2>/dev/null | "
@@ -321,14 +325,14 @@ def _imet54_case(n_frames, rng, workdir):
     cfg = FSKConfig(fs=48000, rs=4800, m=2, p=5, nsym=300,
                     est_min=-10000, est_max=10000)
     dec = IMet54Decoder()
-    # production chain: reference decode.py:608-655 — imet54mod's own
-    # IQ front-end reads CS16 directly (no fsk_demod stage).  decode.py
-    # :632 passes "--lp", which the in-tree imet54mod does not parse
-    # (it errors "open --lp"); the matching IF-lowpass flag is --lpIQ
-    # (imet54mod.c:837).
+    # production chain: reference decode.py:1215-1250 — IMET5 defaults
+    # to the experimental fsk_demod split chain
+    # (config.py:442 experimental_decoders["IMET5"]=True)
     ref = lambda o, iq: (
-        f"cat {iq} | {o.binary('imet54mod')} --ecc --IQ 0.0 --lpIQ - "
-        f"48000 16 --json --ptu 2>/dev/null")
+        f"{o.binary('fsk_demod')} --cs16 -b -10000 -u 10000 -s "
+        f"2 48000 4800 {iq} - 2>/dev/null | "
+        f"{o.binary('imet54mod')} --ecc --json --softin -i --ptu "
+        f"2>/dev/null")
     return Case(bits, 48000, 4800, 4800, 0.5, cfg,
                 lambda b, s: dec.decode_bits(b, None if s is None else -s),
                 ids, ref, idle_run=4)
