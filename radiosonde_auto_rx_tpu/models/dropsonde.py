@@ -122,6 +122,8 @@ class DropsondeDecoder:
 
     def decode_bits(self, raw_bits, soft=None):
         raw_bits = np.asarray(raw_bits, dtype=np.uint8)
+        if soft is not None:
+            soft = np.asarray(soft)
         out = []
         nraw = FRAME_LEN * 10 * 2 - 40
         for inv in (False, True):
@@ -137,8 +139,16 @@ class DropsondeDecoder:
                 pre = [bit for byte in (0xFC, 0x1D)
                        for bit in _byte_8n1_bits(byte)]
                 n = len(raw) // 2 * 2
+                if soft is not None and len(soft) >= s + n:
+                    # Manchester2 ([1,0]=0 / [0,1]=1): integrate BOTH
+                    # half-symbols, bit = sign(s2 - s1) — same
+                    # dual-symbol soft combining as DFM/RS92/MRZ
+                    sr = soft[s:s + n] * (-1.0 if inv else 1.0)
+                    data = (sr[1::2] - sr[0::2] > 0.0).astype(np.uint8)
+                else:
+                    data = raw[1:n:2]
                 bits = np.concatenate(
-                    [np.array(pre, dtype=np.uint8), raw[1:n:2]])
+                    [np.array(pre, dtype=np.uint8), data])
                 nby = min(len(bits) // 10, FRAME_LEN)
                 frame = np.zeros(FRAME_LEN, dtype=np.uint8)
                 tenb = bits[:nby * 10].reshape(-1, 10)[:, 1:9]
