@@ -90,7 +90,7 @@ class Case:
 # two sightings of both halves under noise).
 WARMUP = {"RS41": 1, "DFM": 5, "M10": 1, "LMS6": 1, "RS92": 2,
           "MEISEI": 1, "MRZ": 8, "IMET54": 1, "MTS01": 1, "WXR301": 1,
-          "RD94RD41": 1}
+          "RD94RD41": 1, "M20": 1}
 
 
 def _idle(n, run=1):
@@ -393,6 +393,30 @@ def _wxr301_case(n_frames, rng, workdir):
                 set(range(700 + w, 700 + w + n_frames)), ref, idle_run=4)
 
 
+def _m20_case(n_frames, rng, workdir):
+    from radiosonde_auto_rx_tpu.models.m10 import (M20Decoder,
+                                                   encode_frame_m20,
+                                                   frame_to_raw_bits)
+    week, tow = _gps_now_plus()
+    gps0 = tow // 1000
+    w = WARMUP["M20"]
+    bits = np.concatenate([_slot(frame_to_raw_bits(encode_frame_m20(
+        week=week, gpssec=gps0 + i, lat=52.15, lon=13.35,
+        alt=7000.0 + 5.0 * i)), 9600, run=8) for i in range(n_frames + w)])
+    ids = {int(week * 604800 + gps0 + i) for i in range(w, n_frames + w)}
+    cfg = FSKConfig(fs=48000, rs=9600, m=2, p=5, nsym=240,
+                    est_min=-10000, est_max=10000)
+    dec = M20Decoder()
+    # production chain: reference decode.py:1131-1167
+    ref = lambda o, iq: (
+        f"{o.binary('fsk_demod')} --cs16 -b -10000 -u 10000 -s -p 5 "
+        f"2 48000 9600 {iq} - 2>/dev/null | "
+        f"{o.binary('m20mod')} --json --ptu -vvv --softin -i 2>/dev/null")
+    return Case(bits, 48000, 9600, 10000, 1.0, cfg,
+                lambda b, s: dec.decode_bits(b, None if s is None else -s),
+                ids, ref, idle_run=8)
+
+
 def _rd94_case(n_frames, rng, workdir):
     from radiosonde_auto_rx_tpu.models.dropsonde import (DropsondeDecoder,
                                                          encode_frame_rd94,
@@ -420,7 +444,7 @@ def _rd94_case(n_frames, rng, workdir):
 CASES = {"RS41": _rs41_case, "DFM": _dfm_case, "M10": _m10_case,
          "LMS6": _lms6_case, "RS92": _rs92_case, "MEISEI": _meisei_case,
          "MRZ": _mrz_case, "IMET54": _imet54_case, "MTS01": _mts01_case,
-         "WXR301": _wxr301_case, "RD94RD41": _rd94_case}
+         "WXR301": _wxr301_case, "RD94RD41": _rd94_case, "M20": _m20_case}
 
 
 def _make_iq(case: Case, ebno_db: float, rng):
