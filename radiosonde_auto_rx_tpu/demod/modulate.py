@@ -45,10 +45,11 @@ def gfsk_mod(bits: np.ndarray, fs: int, rs: int, m: int, f_centre: float,
     ts = fs // rs
     syms = bits_to_symbols(bits, m).astype(np.float64)
     dev = (syms - (m - 1) / 2.0) * tone_spacing        # centered deviations
-    if ppm:
-        # real transmitters are never exactly on the receiver's sample
-        # grid; a clock offset keeps symbol edges sweeping across sample
-        # boundaries instead of sitting degenerately on them
+    if ppm or fs % rs:
+        # fractional samples-per-symbol: used for a deliberate TX clock
+        # offset (real transmitters are never exactly on the receiver's
+        # sample grid) and for non-divisible rates (e.g. 9616 Bd on a
+        # 240 kHz channel)
         rs_eff = rs * (1.0 + ppm * 1e-6)
         n = int(len(syms) * fs / rs_eff)
         idx = np.minimum((np.arange(n) * (rs_eff / fs)).astype(np.int64),
@@ -57,7 +58,7 @@ def gfsk_mod(bits: np.ndarray, fs: int, rs: int, m: int, f_centre: float,
     else:
         finst = np.repeat(dev, ts)
     # Gaussian smoothing of the frequency trajectory
-    sigma = math.sqrt(math.log(2.0)) / (2.0 * math.pi * bt) * ts
+    sigma = math.sqrt(math.log(2.0)) / (2.0 * math.pi * bt) * (fs / rs)
     klen = int(8 * sigma) | 1
     kx = np.arange(klen) - klen // 2
     g = np.exp(-0.5 * (kx / sigma) ** 2)

@@ -81,6 +81,11 @@ class Case:
     idle_run: int = 1            # idle = runs of this many 1s then 0s
     ppm: float = 0.0             # TX clock offset (real sondes are never
                                  # exactly on the receiver sample grid)
+    prep: callable = None        # optional IQ conditioner before the TPU
+                                 # demod (e.g. the station's 601/600
+                                 # fractional resample for MK2LMS);
+                                 # complex [T] -> planes for
+                                 # fsk_demod_stream
 
 
 # Warmup frames per type: demod freq/timing convergence plus decoder
@@ -90,7 +95,7 @@ class Case:
 # two sightings of both halves under noise).
 WARMUP = {"RS41": 1, "DFM": 5, "M10": 1, "LMS6": 1, "RS92": 2,
           "MEISEI": 1, "MRZ": 8, "IMET54": 1, "MTS01": 1, "WXR301": 1,
-          "RD94RD41": 1, "M20": 1}
+          "RD94RD41": 1, "M20": 1, "MK2LMS": 1}
 
 
 def _idle(n, run=1):
@@ -393,6 +398,52 @@ def _wxr301_case(n_frames, rng, workdir):
                 set(range(700 + w, 700 + w + n_frames)), ref, idle_run=4)
 
 
+def _mk2lms_case(n_frames, rng, workdir):
+    from radiosonde_auto_rx_tpu.models.mk2lms import (
+        MK2LMSDecoder, encode_frame_4d, encode_frame_54, frame_to_raw_bits)
+    from radiosonde_auto_rx_tpu.ops.resample import resample_planes
+    w = WARMUP["MK2LMS"]
+    sid = 7654321
+    slots = []
+    # MK2A is a continuous 9616 Bd byte stream: inter-frame fill is the
+    # 0xCA sync char itself; a 0x4D full-ID frame every 8 telemetry
+    # frames (the decoder gates JSON on the 32-bit ID, like the
+    # reference mk2a1680mod)
+    fill_char = frame_to_raw_bits(np.zeros(0, np.uint8), n_sync=1)
+    for i in range(n_frames + w):
+        fb = frame_to_raw_bits(encode_frame_54(
+            sid32=sid, frnr=100 + i, tow_ms=43_205_000 + 1000 * i,
+            lat=44.52, lon=-72.61, alt=15000.0 + 5.0 * i))
+        if i % 8 == 0:
+            fb = np.concatenate(
+                [frame_to_raw_bits(encode_frame_4d(sid32=sid)), fb])
+        gap = 9616 - len(fb)
+        if gap > 0:
+            nfill = gap // 10
+            fb = np.concatenate([fb, np.tile(fill_char, nfill)])
+        slots.append(fb)
+    bits = np.concatenate(slots)
+    # TPU chain mirrors the station: 240 kHz channel resampled 601/600
+    # to 240.4 kHz so Ts = 25 exactly (station.py CHAIN_TABLE MK2LMS)
+    cfg = FSKConfig(fs=240400, rs=9616, m=2, p=5, nsym=300,
+                    est_min=-110000, est_max=110000, tone_spacing=100000,
+                    freq_est_type=1)
+    dec = MK2LMSDecoder()
+
+    def prep(iq):
+        pl = np.stack([iq.real, iq.imag]).astype(np.float32)
+        return np.asarray(resample_planes(pl, 240000, 240400))[None]
+
+    # production chain: reference decode.py:661-699 — mk2a1680mod's
+    # integrated IQ front-end at 240 kHz
+    ref = lambda o, iq: (
+        f"cat {iq} | {o.binary('mk2a1680mod')} --iq 0.0 --lpIQ "
+        f"--lpbw 160 --decFM --dc --crc --json - 240000 16 2>/dev/null")
+    return Case(bits, 240000, 9616, 100000, 1.0, cfg,
+                lambda b, s: dec.decode_bits(b, None if s is None else -s),
+                set(range(100 + w, 100 + w + n_frames)), ref, prep=prep)
+
+
 def _m20_case(n_frames, rng, workdir):
     from radiosonde_auto_rx_tpu.models.m10 import (M20Decoder,
                                                    encode_frame_m20,
@@ -444,7 +495,8 @@ def _rd94_case(n_frames, rng, workdir):
 CASES = {"RS41": _rs41_case, "DFM": _dfm_case, "M10": _m10_case,
          "LMS6": _lms6_case, "RS92": _rs92_case, "MEISEI": _meisei_case,
          "MRZ": _mrz_case, "IMET54": _imet54_case, "MTS01": _mts01_case,
-         "WXR301": _wxr301_case, "RD94RD41": _rd94_case, "M20": _m20_case}
+         "WXR301": _wxr301_case, "RD94RD41": _rd94_case, "M20": _m20_case,
+         "MK2LMS": _mk2lms_case}
 
 
 def _make_iq(case: Case, ebno_db: float, rng):
@@ -476,7 +528,11 @@ def run_point(sonde_type: str, ebno_db: float, n_frames: int = 100,
             if chain == "tpu":
                 # np complex in: iq_planes splits on host (complex never
                 # crosses the TPU transfer boundary)
-                soft, bits, stats, _ = fsk_demod_stream(case.cfg, iq)
+                iq_t = case.prep(iq) if case.prep is not None else iq
+                soft, bits, stats, _ = fsk_demod_stream(case.cfg, iq_t)
+                soft, bits = np.asarray(soft), np.asarray(bits)
+                if bits.ndim == 2:      # planes input keeps the C axis
+                    soft, bits = soft[0], bits[0]
                 telems = case.decode(np.asarray(bits), np.asarray(soft))
             else:
                 o = _oracle()
