@@ -95,7 +95,7 @@ class Case:
 # two sightings of both halves under noise).
 WARMUP = {"RS41": 1, "DFM": 5, "M10": 1, "LMS6": 1, "RS92": 2,
           "MEISEI": 1, "MRZ": 8, "IMET54": 1, "MTS01": 1, "WXR301": 1,
-          "RD94RD41": 1, "M20": 1, "MK2LMS": 1}
+          "RD94RD41": 1, "M20": 1, "MK2LMS": 1, "RS92NGP": 20}
 
 
 def _idle(n, run=1):
@@ -398,6 +398,41 @@ def _wxr301_case(n_frames, rng, workdir):
                 set(range(700 + w, 700 + w + n_frames)), ref, idle_run=4)
 
 
+def _rs92ngp_case(n_frames, rng, workdir):
+    from radiosonde_auto_rx_tpu.models.rs92 import (RS92Decoder,
+                                                    encode_flight_bits,
+                                                    make_calibytes,
+                                                    make_test_ephemeris)
+    from radiosonde_auto_rx_tpu.station import gps_ephem
+    ephs = make_test_ephemeris()
+    w = WARMUP["RS92NGP"]
+    cal = make_calibytes(ngp=True, freq_khz=1680000)
+    bits = encode_flight_bits(n_frames=n_frames + w, ephs=ephs,
+                              calibytes=cal, ngp=True, frnr=100,
+                              lat=47.0, lon=15.5, alt=9000.0)
+    rinex = None
+    if workdir is not None:
+        rinex = os.path.join(workdir, "eph_ngp.txt")
+        gps_ephem.write_rinex_nav(ephs, rinex)
+    # 1680 MHz branch: 96 kHz channel, ~20 kHz tone spacing (reference
+    # decode.py:946-950; station CHAIN_TABLE RS92NGP mask=20000)
+    cfg = FSKConfig(fs=96000, rs=4800, m=2, p=5, nsym=300,
+                    est_min=-32000, est_max=32000, tone_spacing=20000,
+                    freq_est_type=1)
+    dec = RS92Decoder(ephemeris=ephs)
+    # production chain: reference decode.py:944-990 (--ngp branch)
+    ref = lambda o, iq: (
+        f"{o.binary('fsk_demod')} --cs16 -b -10000 -u 10000 -s "
+        f"--mask 20000 --nsym=300 -p 5 "
+        f"2 96000 4800 {iq} - 2>/dev/null | "
+        f"{o.binary('rs92mod')} --crc --ecc --vel --json --softin -i "
+        f"-e {rinex} --ngp --ptu 2>/dev/null")
+    return Case(bits, 96000, 4800, 20000, 0.5, cfg,
+                lambda b, s: dec.decode_bits(b, None if s is None else -s),
+                set(range(100 + w, 100 + w + n_frames)),
+                ref if rinex else None)
+
+
 def _mk2lms_case(n_frames, rng, workdir):
     from radiosonde_auto_rx_tpu.models.mk2lms import (
         MK2LMSDecoder, encode_frame_4d, encode_frame_54, frame_to_raw_bits)
@@ -496,7 +531,7 @@ CASES = {"RS41": _rs41_case, "DFM": _dfm_case, "M10": _m10_case,
          "LMS6": _lms6_case, "RS92": _rs92_case, "MEISEI": _meisei_case,
          "MRZ": _mrz_case, "IMET54": _imet54_case, "MTS01": _mts01_case,
          "WXR301": _wxr301_case, "RD94RD41": _rd94_case, "M20": _m20_case,
-         "MK2LMS": _mk2lms_case}
+         "MK2LMS": _mk2lms_case, "RS92NGP": _rs92ngp_case}
 
 
 def _make_iq(case: Case, ebno_db: float, rng):
