@@ -86,6 +86,9 @@ class Case:
                                  # fractional resample for MK2LMS);
                                  # complex [T] -> planes for
                                  # fsk_demod_stream
+    mod: callable = None         # optional modulator (bits -> complex
+                                 # IQ) replacing gfsk_mod, e.g. the
+                                 # iMet AFSK-over-FM carrier
 
 
 # Warmup frames per type: demod freq/timing convergence plus decoder
@@ -95,7 +98,8 @@ class Case:
 # two sightings of both halves under noise).
 WARMUP = {"RS41": 1, "DFM": 5, "M10": 1, "LMS6": 1, "RS92": 2,
           "MEISEI": 1, "MRZ": 8, "IMET54": 1, "MTS01": 1, "WXR301": 1,
-          "RD94RD41": 1, "M20": 1, "MK2LMS": 1, "RS92NGP": 20}
+          "RD94RD41": 1, "M20": 1, "MK2LMS": 1, "RS92NGP": 20,
+          "IMET4": 1}
 
 
 def _idle(n, run=1):
@@ -398,6 +402,53 @@ def _wxr301_case(n_frames, rng, workdir):
                 set(range(700 + w, 700 + w + n_frames)), ref, idle_run=4)
 
 
+def _imet4_case(n_frames, rng, workdir):
+    from radiosonde_auto_rx_tpu.models.imet4 import (
+        IMet4Decoder, afsk_demod_config, afsk_modulate, encode_frame_bits,
+        encode_gps_packet, encode_eptu_packet)
+    from radiosonde_auto_rx_tpu.ops.fm import fm_discriminate_planes
+    w = WARMUP["IMET4"]
+    slots = []
+    for i in range(n_frames + w):
+        fb = encode_frame_bits(
+            [encode_gps_packet(lat=45.46, lon=9.19, alt=2500 + 2 * i,
+                               time=(12, 30 + i // 60, i % 60)),
+             encode_eptu_packet(frame=100 + i)], sync_bits=160)
+        gap = 1200 - len(fb)
+        if gap > 0:     # Bell-202 idle = resting mark tone (all ones)
+            fb = np.concatenate([fb, np.ones(gap, np.uint8)])
+        slots.append(fb)
+    bits = np.concatenate(slots)
+    cfg = afsk_demod_config(48000)
+    dec = IMet4Decoder()
+
+    def prep(iq):
+        # the AFSK rides on FM audio: discriminate, then feed the audio
+        # as a real signal (imag plane zero) — same chain as the station
+        # (station.py decode: chain["afsk"])
+        pl = np.stack([iq.real, iq.imag]).astype(np.float32)
+        audio = np.asarray(fm_discriminate_planes(pl))
+        return np.stack([audio, np.zeros_like(audio)])[None]
+
+    def decode(b, s):
+        # FSK symbol 0 = 1200 Hz tone = AFSK bit 1 (station.py:384)
+        return dec.decode_bits(1 - np.asarray(b))
+
+    def mod(tx_bits):
+        audio = afsk_modulate(tx_bits, fs=48000).astype(np.float64)
+        ph = 2 * np.pi * np.cumsum(3000.0 * audio) / 48000.0
+        return np.exp(1j * ph).astype(np.complex64)
+
+    # production chain: reference decode.py:546-579 — imet4iq's own IQ
+    # front-end (FM demod + tone discrimination) at 48 kHz
+    ref = lambda o, iq: (
+        f"cat {iq} | {o.binary('imet4iq')} --iq 0.0 --lpIQ --dc - "
+        f"48000 16 --json 2>/dev/null")
+    return Case(bits, 48000, 1200, 0.0, 1.0, cfg, decode,
+                set(range(100 + w, 100 + w + n_frames)), ref, prep=prep,
+                mod=mod)
+
+
 def _rs92ngp_case(n_frames, rng, workdir):
     from radiosonde_auto_rx_tpu.models.rs92 import (RS92Decoder,
                                                     encode_flight_bits,
@@ -531,7 +582,8 @@ CASES = {"RS41": _rs41_case, "DFM": _dfm_case, "M10": _m10_case,
          "LMS6": _lms6_case, "RS92": _rs92_case, "MEISEI": _meisei_case,
          "MRZ": _mrz_case, "IMET54": _imet54_case, "MTS01": _mts01_case,
          "WXR301": _wxr301_case, "RD94RD41": _rd94_case, "M20": _m20_case,
-         "MK2LMS": _mk2lms_case, "RS92NGP": _rs92ngp_case}
+         "MK2LMS": _mk2lms_case, "RS92NGP": _rs92ngp_case,
+         "IMET4": _imet4_case}
 
 
 def _make_iq(case: Case, ebno_db: float, rng):
@@ -540,9 +592,10 @@ def _make_iq(case: Case, ebno_db: float, rng):
     # cuts the last frame
     tail = _idle(1400, case.idle_run)
     tx = np.concatenate([idle, case.tx_bits, tail])
-    return add_awgn(gfsk_mod(tx, case.fs, case.rs, 2, 0.0, case.spacing,
-                             bt=case.bt, ppm=case.ppm), ebno_db, case.fs,
-                    case.rs, rng=rng)
+    clean = (case.mod(tx) if case.mod is not None else
+             gfsk_mod(tx, case.fs, case.rs, 2, 0.0, case.spacing,
+                      bt=case.bt, ppm=case.ppm))
+    return add_awgn(clean, ebno_db, case.fs, case.rs, rng=rng)
 
 
 def run_point(sonde_type: str, ebno_db: float, n_frames: int = 100,
