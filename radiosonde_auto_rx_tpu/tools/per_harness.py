@@ -99,7 +99,7 @@ class Case:
 WARMUP = {"RS41": 1, "DFM": 5, "M10": 1, "LMS6": 1, "RS92": 2,
           "MEISEI": 1, "MRZ": 8, "IMET54": 1, "MTS01": 1, "WXR301": 1,
           "RD94RD41": 1, "M20": 1, "MK2LMS": 1, "RS92NGP": 20,
-          "IMET4": 1}
+          "IMET4": 1, "WXRPN9": 1}
 
 
 def _idle(n, run=1):
@@ -402,6 +402,36 @@ def _wxr301_case(n_frames, rng, workdir):
                 set(range(700 + w, 700 + w + n_frames)), ref, idle_run=4)
 
 
+def _wxrpn9_case(n_frames, rng, workdir):
+    from radiosonde_auto_rx_tpu.models.weathex import (WeathexPN9Decoder,
+                                                       encode_frame,
+                                                       frame_to_bits)
+    w = WARMUP["WXRPN9"]
+    slots = []
+    for i in range(n_frames + w):
+        pair = np.concatenate([
+            frame_to_bits(encode_frame(1, cnt=700 + i,
+                                       time=(10, 20, i % 60), pn9=True)),
+            _idle(120, 4),
+            frame_to_bits(encode_frame(2, cnt=700 + i,
+                                       time=(10, 20, i % 60), pn9=True))])
+        slots.append(_slot(pair, 5000, run=4))
+    bits = np.concatenate(slots)
+    cfg = FSKConfig(fs=100000, rs=5000, m=2, p=5, nsym=300,
+                    est_min=-55000, est_max=55000, tone_spacing=50000,
+                    freq_est_type=1)
+    dec = WeathexPN9Decoder()
+    # production chain: reference decode.py:1428-1467 (5 kBd PN9 variant
+    # on a 100 kHz channel)
+    ref = lambda o, iq: (
+        f"{o.binary('fsk_demod')} --cs16 -b -40000 -u 40000 -s "
+        f"--mask 50000 2 100000 5000 {iq} - 2>/dev/null | "
+        f"{o.binary('weathex301d')} --softin -i --json --pn9 2>/dev/null")
+    return Case(bits, 100000, 5000, 50000, 1.0, cfg,
+                lambda b, s: dec.decode_bits(b),
+                set(range(700 + w, 700 + w + n_frames)), ref, idle_run=4)
+
+
 def _imet4_case(n_frames, rng, workdir):
     from radiosonde_auto_rx_tpu.models.imet4 import (
         IMet4Decoder, afsk_demod_config, afsk_modulate, encode_frame_bits,
@@ -583,7 +613,7 @@ CASES = {"RS41": _rs41_case, "DFM": _dfm_case, "M10": _m10_case,
          "MRZ": _mrz_case, "IMET54": _imet54_case, "MTS01": _mts01_case,
          "WXR301": _wxr301_case, "RD94RD41": _rd94_case, "M20": _m20_case,
          "MK2LMS": _mk2lms_case, "RS92NGP": _rs92ngp_case,
-         "IMET4": _imet4_case}
+         "IMET4": _imet4_case, "WXRPN9": _wxrpn9_case}
 
 
 def _make_iq(case: Case, ebno_db: float, rng):
