@@ -35,6 +35,30 @@ def afsk_demod_config(fs: int = 48000):
                      est_min=800, est_max=2600)
 
 
+def afsk_fm_audio(iq_planes, fs: int = 48000):
+    """IQ planes [..., 2, T] -> band-limited FM audio [..., T].
+
+    Mirrors imet4iq's front-end (imet4iq.c:1352,1516-1517): an IF
+    lowpass (16 kHz bandwidth) before the discriminator and an audio
+    lowpass after it.  Without the IF filter the discriminator sees the
+    full channel's noise and the AFSK chain loses ~3 dB of sensitivity.
+    """
+    import jax.numpy as jnp
+    from radiosonde_auto_rx_tpu.ops.fir import design_lowpass, fir_filter
+    from radiosonde_auto_rx_tpu.ops.fm import fm_discriminate_planes
+    x = jnp.asarray(iq_planes, jnp.float32)
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    K, two, T = x.shape
+    h_if = jnp.asarray(design_lowpass(8e3 / fs, 97))
+    xf = fir_filter(x.reshape(K * 2, T), h_if).reshape(K, 2, T)
+    audio = fm_discriminate_planes(xf)
+    h_fm = jnp.asarray(design_lowpass(4e3 / fs, 97))
+    audio = fir_filter(audio, h_fm)
+    return audio[0] if squeeze else audio
+
+
 def crc16_1d0f(data):
     rem = 0x1D0F
     for b in data:

@@ -373,11 +373,11 @@ class Station:
             iq = resample_planes(iq, fs, chain["resample_to"])
             fs = chain["resample_to"]
         if chain.get("afsk"):
-            # FM-discriminate, then FSK-demod the Bell-202 audio tones
-            from radiosonde_auto_rx_tpu.ops.fm import fm_discriminate_planes
+            # IF lowpass -> FM discriminate -> audio lowpass (imet4iq's
+            # front-end), then FSK-demod the Bell-202 audio tones
             from radiosonde_auto_rx_tpu.models.imet4 import \
-                afsk_demod_config
-            audio = fm_discriminate_planes(iq)            # [K, T]
+                afsk_demod_config, afsk_fm_audio
+            audio = afsk_fm_audio(iq, fs)                 # [K, T]
             planes = jnp.stack([audio, jnp.zeros_like(audio)], axis=1)
             cfg = afsk_demod_config(fs)
             _, bits_b, stats, _ = fsk_demod_stream(cfg, planes)

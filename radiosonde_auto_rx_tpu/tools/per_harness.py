@@ -453,11 +453,12 @@ def _imet4_case(n_frames, rng, workdir):
     dec = IMet4Decoder()
 
     def prep(iq):
-        # the AFSK rides on FM audio: discriminate, then feed the audio
-        # as a real signal (imag plane zero) — same chain as the station
-        # (station.py decode: chain["afsk"])
+        # the AFSK rides on FM audio: IF lowpass -> discriminate ->
+        # audio lowpass, then feed the audio as a real signal (imag
+        # plane zero) — same chain as the station (chain["afsk"])
+        from radiosonde_auto_rx_tpu.models.imet4 import afsk_fm_audio
         pl = np.stack([iq.real, iq.imag]).astype(np.float32)
-        audio = np.asarray(fm_discriminate_planes(pl))
+        audio = np.asarray(afsk_fm_audio(pl, 48000))
         return np.stack([audio, np.zeros_like(audio)])[None]
 
     def decode(b, s):
