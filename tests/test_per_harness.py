@@ -74,3 +74,22 @@ def test_imet54_per_cliff():
     lo = _point("IMET54", 2.0, 5)
     assert hi["frames_rx"] >= 3, hi
     assert lo["frames_rx"] == 0, lo
+
+
+@pytest.mark.parametrize("sonde_type,hi_db", [
+    ("M20", 14.0), ("MTS01", 16.0), ("WXR301", 17.0), ("WXRPN9", 17.0),
+    ("RD94RD41", 14.0), ("MK2LMS", 16.0), ("IMET4", 24.0)])
+def test_new_type_per_cliffs(sonde_type, hi_db):
+    """Round-2 case additions: decode cleanly above the cliff, dead in
+    deep noise (exact TX/RX accounting holds for every type)."""
+    hi = _point(sonde_type, hi_db, 4)
+    lo = _point(sonde_type, 2.0, 4)
+    assert hi["frames_rx"] >= 3, hi
+    assert lo["frames_rx"] == 0, lo
+
+
+def test_rs92ngp_per_cliff():
+    hi = _point("RS92NGP", 16.0, 4)
+    lo = _point("RS92NGP", 2.0, 4)
+    assert hi["frames_rx"] >= 3, hi
+    assert lo["frames_rx"] == 0, lo
