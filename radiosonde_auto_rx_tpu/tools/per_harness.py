@@ -145,8 +145,11 @@ def _rs41_case(n_frames, rng, workdir):
         f"--nsym=300 -p 5 2 48000 4800 {iq} - 2>/dev/null | "
         f"{o.binary('rs41mod')} --ptu2 --json --softin -i --ecc2 "
         f"2>/dev/null")
+    # soft values feed the ECC3/ECC4 byte-score erasure search
+    # (rs41mod.c:2939-2958) — measured +0.5 dB at the cliff vs
+    # hard-bits-only
     return Case(bits, 48000, 4800, 4800, 0.5, cfg,
-                lambda b, s: dec.decode_bits(b),
+                lambda b, s: dec.decode_bits(b, s),
                 set(range(100 + w, 100 + w + n_frames)), ref)
 
 
