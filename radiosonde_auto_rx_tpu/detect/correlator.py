@@ -10,6 +10,7 @@ tiles onto the MXU, batched over channels.  The reference's normalization
 so every time position is normalized, not just the per-block max.
 """
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -47,6 +48,47 @@ def _windowed_sums(x, lens):
     return jnp.stack(outs, axis=1)                      # [C, K, nvalid]
 
 
+def _corr_direct(x, bank):
+    """Direct grouped conv: [C,1,T] * [K,1,Lmax] -> [C,K,T']."""
+    return jax.lax.conv_general_dilated(
+        x[:, None, :], bank[:, None, :], window_strides=(1,),
+        padding=[(0, 0)], dimension_numbers=("NCW", "OIW", "NCW"))
+
+
+def _corr_fft(x, bank, nfft=4096):
+    """Overlap-save FFT cross-correlation, same result as _corr_direct.
+
+    Circular correlation irfft(X · conj(H)) equals the linear one at lags
+    [0, nfft-Lmax] when the template is zero-padded to Lmax ≤ nfft, so
+    each nfft-frame (hop B = nfft-Lmax+1) yields B valid positions.
+    O(K·T·Lmax) MACs become O((K+1)·T·log nfft) — a ~25x flop cut for
+    this bank (K=16, Lmax=1280) over the padded grouped conv.
+    """
+    C, T = x.shape
+    K, lmax = bank.shape
+    if nfft < 2 * lmax:
+        nfft = 1 << int(np.ceil(np.log2(2 * lmax)))
+    B = nfft - lmax + 1
+    nvalid = T - lmax + 1
+    nblk = max(1, -(-nvalid // B))
+    pad = (nblk - 1) * B + nfft - T
+    xp = jnp.pad(x, ((0, 0), (0, max(pad, 0))))
+    frames = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(xp, i * B, nfft, 1)
+         for i in range(nblk)], axis=1)                  # [C, nblk, nfft]
+    xs = jnp.fft.rfft(frames)                            # [C, nblk, F]
+    hs = jnp.conj(jnp.fft.rfft(bank, n=nfft))            # [K, F]
+    y = jnp.fft.irfft(xs[:, :, None, :] * hs[None, None], n=nfft)
+    corr = y[..., :B].transpose(0, 2, 1, 3).reshape(C, K, nblk * B)
+    return corr[:, :, :nvalid]
+
+
+# overlap-save FFT correlation is the default (measured faster on TPU
+# than the padded grouped conv); RSX_DETECT_CORR=conv restores the
+# direct path.
+_CORR_METHOD = os.environ.get("RSX_DETECT_CORR", "fft")
+
+
 @partial(jax.jit, static_argnames=("lens_t",))
 def _correlate(x, bank, lens_t):
     """x: [C, T] float32 FM stream; bank: [K, Lmax].
@@ -57,10 +99,10 @@ def _correlate(x, bank, lens_t):
     C, T = x.shape
     K, lmax = bank.shape
     lens = np.asarray(lens_t)
-    # grouped conv: [C,1,T] * [K,1,Lmax] -> [C,K,T']
-    corr = jax.lax.conv_general_dilated(
-        x[:, None, :], bank[:, None, :], window_strides=(1,),
-        padding=[(0, 0)], dimension_numbers=("NCW", "OIW", "NCW"))
+    if _CORR_METHOD == "fft" and T >= 2 * lmax:
+        corr = _corr_fft(x, bank)
+    else:
+        corr = _corr_direct(x, bank)
     s1 = _windowed_sums(x, lens)                        # [C,K,T']
     s2 = _windowed_sums(x * x, lens)
     lensf = jnp.asarray(lens, jnp.float32)[None, :, None]

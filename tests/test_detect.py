@@ -230,3 +230,20 @@ def test_rs41_not_misdetected_as_imet():
         dets = det.detect(iq, max_det=0)
         for d in dets:
             assert not d.name.startswith("IMET"), (trial, d)
+
+
+def test_fft_correlate_matches_direct():
+    """Overlap-save FFT correlation must equal the grouped conv bit-close
+    (the detector defaults to the FFT path on long streams)."""
+    from radiosonde_auto_rx_tpu.detect.correlator import (_corr_direct,
+                                                          _corr_fft)
+    from radiosonde_auto_rx_tpu.detect.templates import build_template_bank
+    bank, lens, _ = build_template_bank(48000)
+    bj = jnp.asarray(bank)
+    rng = np.random.default_rng(11)
+    for C, T in [(2, 20000), (1, 2 * bank.shape[1] + 1)]:
+        x = jnp.asarray(rng.standard_normal((C, T)).astype(np.float32))
+        a = np.asarray(_corr_direct(x, bj))
+        b = np.asarray(_corr_fft(x, bj))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=5e-5)
