@@ -694,6 +694,9 @@ def sweep(sonde_type: str, ebnos, n_frames: int = 100, seed: int = 0,
 
 
 def main(argv=None):
+    from radiosonde_auto_rx_tpu.utils.process import \
+        apply_platform_env
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--type", default="RS41", choices=sorted(CASES))
     ap.add_argument("--ebno", default="5:20:0.5",

@@ -12,6 +12,22 @@ import threading
 import queue
 
 
+def apply_platform_env():
+    """Make ``JAX_PLATFORMS`` effective even when a sitecustomize has
+    already imported jax (which freezes the env-var default): apply it
+    through jax.config before the backend initializes.  CLI tools call
+    this first so ``JAX_PLATFORMS=cpu <tool>`` works — without it a
+    dead accelerator tunnel hangs the tool at the first jax op."""
+    import os
+    p = os.environ.get("JAX_PLATFORMS")
+    if p:
+        import jax
+        try:
+            jax.config.update("jax_platforms", p)
+        except Exception:
+            pass
+
+
 def timeout_cmd() -> str:
     """The timeout binary for this platform (reference utils.py:53-80):
     plain `timeout -k 30` where available, `gtimeout` on macOS."""
