@@ -92,8 +92,13 @@ def main(argv=None):
     a, b, s = (float(v) for v in args.ebno.split(":"))
     ebnos = np.arange(a, b + s / 2, s)
     specs_all = TEMPLATES
+    # IMETafsk is excluded by default: its preamble is Bell-202 AFSK on
+    # an FM carrier, not GFSK, so this generator's burst doesn't apply
+    # (neither chain detects it — the tone path is exercised by
+    # tests/test_detect.py::test_imet_tone_disambiguation instead)
     names = (args.types.split(",") if args.types
-             else [t.name for t in specs_all if t.lp_iq == 1])
+             else [t.name for t in specs_all
+                   if t.lp_iq == 1 and t.name != "IMETafsk"])
     bank, lens, specs = build_template_bank(FS)
     oracle = None
     if args.ref:
