@@ -55,12 +55,72 @@ def parse_args(argv=None):
                     help="interleaved complex float32 input")
     ap.add_argument("--stats", type=int, default=0, metavar="N",
                     help="emit JSON stats on stderr every N blocks")
+    ap.add_argument("--testframes", action="store_true",
+                    help="BER self-test against the known 100-bit PRBS "
+                         "frame (bit-identical to the reference's "
+                         "fsk_get_test_bits, srand(158324))")
     ap.add_argument("mode", type=int, choices=(2, 4))
     ap.add_argument("fs", type=int)
     ap.add_argument("rs", type=int)
     ap.add_argument("infile")
     ap.add_argument("outfile")
     return ap.parse_args(argv)
+
+
+TEST_FRAME_SIZE = 100      # reference utils/fsk_demod.c:30
+
+
+def _glibc_rand_bits(seed: int, n: int) -> np.ndarray:
+    """glibc rand()&1 sequence (TYPE_3 additive generator, 310 warmup
+    discards) — reproduces the reference's srand(158324) test frame
+    bit-exactly (fsk_demod.c:247-251, fsk_get_test_bits.c)."""
+    discard = 310
+    total = 34 + discard + n
+    r = [0] * total
+    r[0] = seed
+    for i in range(1, 31):
+        r[i] = (16807 * r[i - 1]) % 2147483647
+    for i in range(31, 34):
+        r[i] = r[i - 31]
+    out = np.zeros(n, np.uint8)
+    k = 0
+    for i in range(34, total):
+        r[i] = (r[i - 31] + r[i - 3]) % (1 << 32)
+        if i >= 34 + discard:
+            out[k] = (r[i] >> 1) & 1
+            k += 1
+    return out
+
+
+def test_frame_bits() -> np.ndarray:
+    """The known TX test frame (TEST_FRAME_SIZE bits)."""
+    return _glibc_rand_bits(158324, TEST_FRAME_SIZE)
+
+
+class _TestFrameCounter:
+    """Sliding-window test-frame sync + BER accounting
+    (reference fsk_demod.c:318-357)."""
+
+    def __init__(self):
+        self.tx = test_frame_bits()
+        self.window = np.zeros(TEST_FRAME_SIZE, np.uint8)
+        self.frames = 0
+        self.bits = 0
+        self.errs = 0
+
+    def update(self, rx_bits, stderr):
+        for b in np.asarray(rx_bits, np.uint8):
+            self.window[:-1] = self.window[1:]
+            self.window[-1] = b
+            e = int(np.sum(self.window != self.tx))
+            if e < 0.1 * TEST_FRAME_SIZE:
+                self.frames += 1
+                self.bits += TEST_FRAME_SIZE
+                self.errs += e
+                stderr.write(
+                    f"errs: {e} FSK BER "
+                    f"{self.errs / max(self.bits, 1):f}, bits tested "
+                    f"{self.bits}, bit errors {self.errs}\n")
 
 
 def run(args, stdin=None, stdout=None, stderr=None) -> int:
@@ -87,6 +147,7 @@ def run(args, stdin=None, stdout=None, stderr=None) -> int:
 
     import jax.numpy as jnp
     state = fsk_init_state(cfg, 1)
+    tf_counter = _TestFrameCounter() if args.testframes else None
     carry = None          # leftover samples [2, tail]
     nblk = 0
     total_in = 0
@@ -116,6 +177,8 @@ def run(args, stdin=None, stdout=None, stderr=None) -> int:
         else:
             outfile.write(soft.astype(np.float32).tobytes())
         outfile.flush()
+        if tf_counter is not None:
+            tf_counter.update(bits, stderr)
         total_in += x.shape[1]
         for b in range(nb):
             nblk += 1

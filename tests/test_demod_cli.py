@@ -86,3 +86,46 @@ def test_cli_streaming_matches_batch(rng):
     assert n > 0.8 * len(bits_batch)
     # identical demod path; cs16 quantization may flip the odd soft-zero bit
     assert np.mean(bits_cli[:n] != bits_batch[:n]) < 0.005
+
+
+def test_cli_testframes_ber(rng):
+    """--testframes: known PRBS frames through the demod report ~0 BER
+    (reference fsk_demod.c:318-357 self-test mode)."""
+    tx = np.tile(cli.test_frame_bits(), 40)
+    iq = add_awgn(gfsk_mod(tx, 48000, 4800, 2, 0.0, 5000), 14.0,
+                  48000, 4800, rng=rng)
+    cs16 = np.empty(2 * len(iq), np.int16)
+    cs16[0::2] = np.clip(iq.real * 16384, -32767, 32767)
+    cs16[1::2] = np.clip(iq.imag * 16384, -32767, 32767)
+    out, err = io.BytesIO(), io.StringIO()
+    args = cli.parse_args(["-b", "-5000", "-u", "5000", "--mask", "5000",
+                           "-p", "5", "--testframes", "2", "48000",
+                           "4800", "-", "-"])
+    cli.run(args, stdin=io.BytesIO(cs16.tobytes()), stdout=out,
+            stderr=err)
+    lines = [l for l in err.getvalue().splitlines() if "FSK BER" in l]
+    assert len(lines) >= 20, f"frames synced: {len(lines)}"
+    # final cumulative BER must be tiny
+    last = lines[-1]
+    ber = float(last.split("FSK BER")[1].split(",")[0])
+    assert ber < 0.01, last
+
+
+def test_test_frame_matches_reference_generator():
+    """The PRBS frame is bit-identical to the reference's
+    fsk_get_test_bits (srand(158324) glibc sequence)."""
+    import subprocess, tempfile, os
+    from tests import oracle
+    if not oracle.available():
+        import pytest
+        pytest.skip("no compiler/reference")
+    d = tempfile.mkdtemp()
+    open(os.path.join(d, "t.c"), "w").write(
+        '#include <stdio.h>\n#include <stdlib.h>\n'
+        'int main(){srand(158324);for(int i=0;i<100;i++)'
+        'printf("%d",rand()&1);return 0;}')
+    subprocess.run(f"gcc {d}/t.c -o {d}/t", shell=True, check=True)
+    ref = subprocess.run(f"{d}/t", shell=True,
+                         capture_output=True).stdout.decode()
+    mine = "".join(str(int(b)) for b in cli.test_frame_bits())
+    assert ref == mine
