@@ -228,11 +228,34 @@ def bench_scaling():
     }))
 
 
+def _devices_or_die(timeout_s=300):
+    """Backend init with a watchdog: a dead accelerator tunnel makes
+    jax.devices() hang forever (observed on the axon backend) — emit an
+    error JSON line and exit instead of stalling the bench driver."""
+    import threading
+    box = []
+    t = threading.Thread(target=lambda: box.append(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not box:
+        print(json.dumps({
+            "metric": "fsk_demod_iq_throughput", "value": 0.0,
+            "unit": "Msamples/s/chip", "vs_baseline": 0.0,
+            "extra": {"error": "backend init timed out "
+                               f"({timeout_s}s) — accelerator tunnel "
+                               "unavailable"}}))
+        sys.stdout.flush()
+        import os
+        os._exit(3)
+    return box[0]
+
+
 def main():
     if "--scaling" in sys.argv:
         bench_scaling()
         return
-    on_tpu = jax.devices()[0].platform == "tpu"
+    on_tpu = _devices_or_die()[0].platform == "tpu"
     msps = bench_demod(on_tpu)
     extra = {}
     try:
