@@ -59,7 +59,7 @@ def bench_demod(on_tpu):
     cfg = _cfg()
     channels = 512 if on_tpu else 16
     t_samples = 48000 * 4 if on_tpu else 48000
-    reps = 5 if on_tpu else 2
+    reps = 10 if on_tpu else 2
 
     x = jax.jit(make_input, static_argnums=(0, 1, 2))(
         cfg, channels, t_samples, jax.random.key(0))
@@ -78,10 +78,13 @@ def bench_demod(on_tpu):
     ssum, bsum, state = runj(x, state0)   # compile + warm
     float(ssum), int(bsum)                # force completion (fetch)
 
+    # pipelined dispatch: enqueue all reps, sync once.  A synchronous
+    # fetch per rep costs ~27 ms of tunnel round-trip on the axon
+    # backend, which is latency, not throughput — production streaming
+    # overlaps dispatch with compute exactly like this.
     t0 = time.perf_counter()
-    for _ in range(reps):
-        ssum, bsum, state = runj(x, state0)
-        float(ssum)                       # host fetch = hard sync point
+    outs = [runj(x, state0) for _ in range(reps)]
+    float(outs[-1][0])                    # host fetch = hard sync point
     dt = time.perf_counter() - t0
     return channels * t_samples * reps / dt / 1e6
 
@@ -99,7 +102,7 @@ def bench_station_step(on_tpu, duty=0.2):
     n_chan = 50                       # production: 2.4 MHz / 48 kHz
     B = 10 if on_tpu else 1           # captures per step (C = 500 chans)
     t_wide = 2_400_000 if on_tpu else 480_000   # 1 s / 0.2 s per capture
-    reps = 5 if on_tpu else 2
+    reps = 10 if on_tpu else 2
     cfg = _cfg()
     taps = jnp.asarray(pfb_prototype(n_chan))
     det = SondeDetector(48000)
@@ -136,10 +139,10 @@ def bench_station_step(on_tpu, duty=0.2):
     s, b = stepj(wide)
     float(s), int(b)
 
+    # pipelined dispatch (see bench_demod): sync once, not per rep
     t0 = time.perf_counter()
-    for _ in range(reps):
-        s, b = stepj(wide)
-        float(s)
+    outs = [stepj(wide) for _ in range(reps)]
+    float(outs[-1][0])
     dt = time.perf_counter() - t0
     msps = B * t_wide * reps / dt / 1e6
 
