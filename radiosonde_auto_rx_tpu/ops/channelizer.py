@@ -49,32 +49,28 @@ def _channelize(x, h, n_chan):
     P = h.shape[0] // n_chan
     T = x.shape[-1] // n_chan * n_chan
     x = x[:, :T]
+    M = T // n_chan
     # polyphase branches: branch r takes samples x[m*N + r]
-    xb = x.reshape(2, T // n_chan, n_chan)                  # [2, M, N]
-    # prototype branch taps: h[p*N + r] -> [N, P]
-    hb = h.reshape(P, n_chan).T                              # [N, P]
-    # convolve each branch along M with its taps (causal)
+    xb = x.reshape(2, M, n_chan)                             # [2, M, N]
+    # prototype branch taps: hb[p, r] = h[p*N + r]
+    hb = h.reshape(P, n_chan)                                # [P, N]
+    # branch filtering as P shifted multiply-accumulates along M — the
+    # lane dim (N) stays contiguous, so XLA fuses this into one
+    # HBM-bound pass (a feature_group_count=2N grouped conv measured
+    # ~6x slower here: 100 groups of one channel defeat the MXU tiling)
     xp = jnp.pad(xb, ((0, 0), (P - 1, 0), (0, 0)))
-    lhs = xp.transpose(2, 0, 1).reshape(2 * n_chan, 1, -1)   # treat N*2 rows
-    # grouped conv: each branch row with its own taps
-    # build rhs [2N, 1, P] by repeating branch taps for re/im
-    rhs = jnp.repeat(hb[:, None, :], 2, axis=0).reshape(2 * n_chan, 1, P)
-    y = jax.lax.conv_general_dilated(
-        lhs[None, :, 0, :], rhs[:, :, ::-1], window_strides=(1,),
-        padding=[(0, 0)], dimension_numbers=("NCW", "OIW", "NCW"),
-        feature_group_count=2 * n_chan)[0]                   # [2N, M]
-    yb = y.reshape(n_chan, 2, -1)                            # [N, 2, M]
-    # cross-branch DFT: z_k[m] = sum_r y_r[m] * e^{+2πi rk/N}
+    y = xp[:, P - 1:P - 1 + M, :] * hb[0]
+    for p in range(1, P):
+        y = y + xp[:, P - 1 - p:P - 1 - p + M, :] * hb[p]
+    yr, yi = y[0], y[1]                                      # [M, N]
+    # cross-branch DFT: z_k = sum_r y_r e^{-2πi rk/N} downconverts
+    # +k·fs/N; [M, N] x [N, N] matmuls ride the MXU
     cosm, sinm = _dft_mats(n_chan)
     cosm = jnp.asarray(cosm)
     sinm = jnp.asarray(sinm)
-    yr, yi = yb[:, 0], yb[:, 1]                              # [N, M]
-    # z_k = sum_r y_r e^{-2πi rk/N}: conjugate DFT downconverts +k·fs/N
-    zr = jnp.einsum("rm,rk->km", yr, cosm) + \
-        jnp.einsum("rm,rk->km", yi, sinm)
-    zi = jnp.einsum("rm,rk->km", yi, cosm) - \
-        jnp.einsum("rm,rk->km", yr, sinm)
-    return jnp.stack([zr, zi], axis=1)                       # [N, 2, M]
+    zr = yr @ cosm + yi @ sinm                               # [M, N]
+    zi = yi @ cosm - yr @ sinm
+    return jnp.stack([zr.T, zi.T], axis=1)                   # [N, 2, M]
 
 
 def channelize(x, n_chan: int, h: np.ndarray | None = None):
