@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from radiosonde_auto_rx_tpu.detect.templates import build_template_bank, \
     TEMPLATES
 from radiosonde_auto_rx_tpu.detect.correlator import detect_types
-from radiosonde_auto_rx_tpu.ops.fir import design_lowpass, fir_filter
+from radiosonde_auto_rx_tpu.ops.fir import design_lowpass, fir_filter_block
 from radiosonde_auto_rx_tpu.ops.fm import FM_GAIN
 
 # IF lowpass bandwidth per class (dft_detect.c:148-149)
@@ -65,23 +65,50 @@ class SondeDetector:
 
     @partial(jax.jit, static_argnames=("self",))
     def _condition(self, x):
-        """x: [C, 2, T] planes -> list of FM streams [C, T] per class."""
-        out = []
-        for h_if, h_fm, _, _, _ in self.classes:
-            re, im = x[:, 0], x[:, 1]
-            if h_if is not None:
-                re = fir_filter(re, h_if)
-                im = fir_filter(im, h_if)
-            # FM discriminator on real planes:
-            # w = z * conj(z_prev); angle via atan2
-            rp = jnp.concatenate([re[:, :1], re[:, :-1]], axis=-1)
-            ip = jnp.concatenate([im[:, :1], im[:, :-1]], axis=-1)
-            wr = re * rp + im * ip
-            wi = im * rp - re * ip
-            fm = (FM_GAIN / jnp.pi) * jnp.arctan2(wi, wr)
+        """x: [C, 2, T] planes -> list of FM streams [C, T] per class.
+
+        All per-class IF lowpasses run as ONE blocked-Toeplitz filter-bank
+        pass over the stacked re/im rows (fir_filter_block fills the MXU
+        lanes; per-class single-output convs ran at ~1/128 MXU
+        utilization), then one discriminator over the class-stacked
+        planes, then the FM lowpasses grouped by distinct taps.
+        """
+        C, _, T = x.shape
+        filt = [(i, h_if) for i, (h_if, _, _, _, _) in
+                enumerate(self.classes) if h_if is not None]
+        res, ims = [None] * len(self.classes), [None] * len(self.classes)
+        if filt:
+            hs = jnp.stack([h for _, h in filt])           # [F, K]
+            y = fir_filter_block(x.reshape(C * 2, T), hs)  # [2C, F, T]
+            y = y.reshape(C, 2, len(filt), T)
+            for fi, (i, _) in enumerate(filt):
+                res[i], ims[i] = y[:, 0, fi], y[:, 1, fi]
+        for i, (h_if, _, _, _, _) in enumerate(self.classes):
+            if h_if is None:
+                res[i], ims[i] = x[:, 0], x[:, 1]
+        # FM discriminator on class-stacked planes: w = z*conj(z_prev)
+        re = jnp.stack(res, axis=1).reshape(C * len(self.classes), T)
+        im = jnp.stack(ims, axis=1).reshape(C * len(self.classes), T)
+        rp = jnp.concatenate([re[:, :1], re[:, :-1]], axis=-1)
+        ip = jnp.concatenate([im[:, :1], im[:, :-1]], axis=-1)
+        wr = re * rp + im * ip
+        wi = im * rp - re * ip
+        fm = ((FM_GAIN / jnp.pi) * jnp.arctan2(wi, wr)).astype(jnp.float32)
+        fm = fm.reshape(C, len(self.classes), T)
+        out = [fm[:, i] for i in range(len(self.classes))]
+        # FM audio lowpass, grouped by distinct taps
+        groups = {}
+        for i, (_, h_fm, _, _, _) in enumerate(self.classes):
             if h_fm is not None:
-                fm = fir_filter(fm, h_fm)
-            out.append(fm.astype(jnp.float32))
+                groups.setdefault(bytes(np.asarray(h_fm).tobytes()),
+                                  (h_fm, []))[1].append(i)
+        for h_fm, idxs in groups.values():
+            sub = jnp.stack([out[i] for i in idxs],
+                            axis=1).reshape(C * len(idxs), T)
+            flt = fir_filter_block(sub, h_fm[None, :])[:, 0]
+            flt = flt.reshape(C, len(idxs), T)
+            for k, i in enumerate(idxs):
+                out[i] = flt[:, k]
         return out
 
     def detect(self, iq, max_det: int = 1, dc_block: bool = True):

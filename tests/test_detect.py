@@ -247,3 +247,18 @@ def test_fft_correlate_matches_direct():
         b = np.asarray(_corr_fft(x, bj))
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+def test_corr_toeplitz_matches_direct():
+    """Blocked-Toeplitz correlation (TPU default) == direct grouped conv,
+    including nvalid not a multiple of the block size."""
+    from radiosonde_auto_rx_tpu.detect.correlator import (_corr_direct,
+                                                          _corr_toeplitz)
+    rng = np.random.default_rng(1)
+    bank = jnp.asarray(rng.standard_normal((8, 800)).astype(np.float32))
+    for T in (4800, 4000):
+        x = jnp.asarray(rng.standard_normal((3, T)).astype(np.float32))
+        a = np.asarray(_corr_direct(x, bank))
+        b = np.asarray(_corr_toeplitz(x, bank))
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() < 2e-3 * np.abs(a).max()

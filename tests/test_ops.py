@@ -86,3 +86,23 @@ def test_fm_discriminator_tone():
     s = np.asarray(fm_discriminate(jnp.asarray(z)))
     # s = gain * 2*pi*f/fs / pi = gain * 2f/fs (reference demod_mod.c:773)
     np.testing.assert_allclose(s[10:], 0.8 * 2 * f / fs, atol=1e-4)
+
+
+def test_fir_filter_block_matches_fir_filter(rng):
+    """Blocked-Toeplitz FIR (MXU-dense path) == plain conv FIR, including
+    filter banks, odd lengths, and T < block."""
+    from radiosonde_auto_rx_tpu.ops.fir import fir_filter_block
+
+    x = jnp.asarray(rng.standard_normal((4, 1000)).astype(np.float32))
+    hs = jnp.stack([jnp.asarray(design_lowpass(c, 97))
+                    for c in (0.05, 0.1, 0.2)])
+    y = np.asarray(fir_filter_block(x, hs))
+    assert y.shape == (4, 3, 1000)
+    for f in range(3):
+        ref = np.asarray(fir_filter(x, hs[f]))
+        np.testing.assert_allclose(y[:, f], ref, atol=1e-5)
+    # short input (T < block) and 1-D squeeze
+    xs = x[0, :50]
+    ref = np.asarray(fir_filter(xs, hs[0]))
+    np.testing.assert_allclose(
+        np.asarray(fir_filter_block(xs, hs[0])[0]), ref, atol=1e-5)
