@@ -122,7 +122,7 @@ def bench_station_step(on_tpu, duty=0.2):
         C = B * n_chan
         chf = ch.reshape(C, 2, -1)
         # 2. PSD scan over each wideband capture (station.scan)
-        psd = _welch(wide, 2048)
+        psd = _welch(wide, 2048, hop=2048)   # non-overlap, as station.scan
         # 3. detector conditioning + template correlation, duty subset
         streams = det._condition(chf[:n_det])
         corr_acc = jnp.float32(0)

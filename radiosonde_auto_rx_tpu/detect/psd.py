@@ -42,68 +42,81 @@ def _pallas_psd_enabled() -> bool:
     return bool(_PALLAS_PSD)
 
 
-@partial(jax.jit, static_argnames=("nfft",))
-def _welch(x, nfft):
-    """x: [C, 2, T] planes -> mean |DFT|^2 over hops, fftshifted [C, nfft]."""
+@partial(jax.jit, static_argnames=("nfft", "hop"))
+def _welch(x, nfft, hop=None):
+    """x: [C, 2, T] planes -> mean |DFT|^2 over hops, fftshifted [C, nfft].
+
+    ``hop`` defaults to nfft//2 (50%-overlap Welch).  hop=nfft gives
+    non-overlapping segments — with the hundreds-to-thousands of
+    segments a wideband scan integrates, the noise-floor/peak estimate
+    is statistically indistinguishable at half the flops and bytes (the
+    station scan and bench use it).
+    """
     C, _, T = x.shape
-    hop = nfft // 2
+    hop = nfft // 2 if hop is None else hop
+    assert nfft % hop == 0, "hop must divide nfft"
+    # the segment set at hop = nfft/k is exactly k interleaved
+    # non-overlapping tilings -> k reshaped VIEWS (a per-segment slice
+    # stack unrolls to thousands of XLA ops at wideband T; a fancy-index
+    # gather is slow on TPU).  The mean over segments is order-invariant
+    # so the tilings are reduced independently — no interleave copy.
     nseg = (T - nfft) // hop + 1
-    # hop = nfft/2, so the segment set is exactly two interleaved
-    # non-overlapping tilings -> two reshapes (a per-segment slice stack
-    # unrolls to thousands of XLA ops at wideband T; a fancy-index
-    # gather is slow on TPU)
-    n_even = (nseg + 1) // 2
-    n_odd = nseg // 2
-    even = x[:, :, :n_even * nfft].reshape(C, 2, n_even, nfft)
-    if n_odd:
-        odd = x[:, :, hop:hop + n_odd * nfft].reshape(C, 2, n_odd, nfft)
-        # interleave even/odd back into time order
-        m = min(n_even, n_odd)
-        inter = jnp.stack([even[:, :, :m], odd[:, :, :m]],
-                          axis=3).reshape(C, 2, 2 * m, nfft)
-        rest = even[:, :, m:] if n_even > m else odd[:, :, m:]
-        segs = jnp.concatenate([inter, rest], axis=2)
-    else:
-        segs = even
-    # (mean over segments is order-invariant, but keep time order for
-    # any consumer that inspects per-segment spectra)
+    groups = []                              # [(segs view, n_segs), ...]
+    for k in range(nfft // hop):
+        nk = (nseg - k + (nfft // hop) - 1) // (nfft // hop)
+        if nk > 0:
+            off = k * hop
+            groups.append(x[:, :, off:off + nk * nfft]
+                          .reshape(C, 2, nk, nfft))
     if _pallas_psd_enabled():
-        # fused window+DFT+|.|^2+fftshift kernel per segment
+        # fused window+DFT+|.|^2+fftshift kernel per segment (opt-in)
         from radiosonde_auto_rx_tpu.ops.pallas_fft import fft_abs2
         n = np.arange(nfft)
         win = 0.5 - 0.5 * np.cos(2 * np.pi * n / (nfft - 1))
         win = (win / np.sqrt(np.sum(win**2) / nfft)).astype(np.float32)
-        flat = segs.transpose(0, 2, 1, 3).reshape(C * nseg, 2, nfft)
-        p = fft_abs2(flat, win=jnp.asarray(win), shift=True)
-        return p.reshape(C, nseg, nfft).mean(axis=1) / nfft
+        acc = 0
+        for segs, nk in [(g, g.shape[2]) for g in groups]:
+            flat = segs.transpose(0, 2, 1, 3).reshape(C * nk, 2, nfft)
+            p = fft_abs2(flat, win=jnp.asarray(win), shift=True)
+            acc = acc + p.reshape(C, nk, nfft).sum(axis=1)
+        return acc / (nseg * nfft)
     wc, ws = _dft_mats(nfft)
     # bf16 DFT matmuls with f32 accumulation on TPU (4x MXU rate; max
     # |dB| error vs f32 measured 0.008 dB — the scanner thresholds at
     # ~10 dB SNR); f32 elsewhere (CPU bf16 dots are emulated)
-    mdt = jnp.bfloat16 if jax.devices()[0].platform == "tpu" \
-        else jnp.float32
+    on_tpu = jax.devices()[0].platform == "tpu"
+    mdt = jnp.bfloat16 if on_tpu else jnp.float32
     wc = jnp.asarray(wc, mdt)
     ws = jnp.asarray(ws, mdt)
-    xr, xi = segs[:, 0].astype(mdt), segs[:, 1].astype(mdt)
+    # bf16 dot OUTPUTS on TPU: the [C, nseg, nfft] spectra are the big
+    # HBM write (~384 MB at bench geometry; this chip sustains only
+    # ~113 GB/s) and |.|^2 is accumulated in f32 right after
+    odt = mdt
 
     def dot(a, m):
         return jax.lax.dot_general(a, m, (((2,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=odt)
 
-    re = dot(xr, wc) + dot(xi, ws)
-    im = dot(xi, wc) - dot(xr, ws)
-    return jnp.mean(re * re + im * im, axis=1) / nfft      # [C, nfft]
+    acc = 0
+    for segs in groups:
+        xr, xi = segs[:, 0].astype(mdt), segs[:, 1].astype(mdt)
+        re = dot(xr, wc) + dot(xi, ws)
+        im = dot(xi, wc) - dot(xr, ws)
+        p = re.astype(jnp.float32) ** 2 + im.astype(jnp.float32) ** 2
+        acc = acc + p.sum(axis=1)
+    return acc / (nseg * nfft)                             # [C, nfft]
 
 
-def power_spectrum(x, nfft=1024, fs=48000):
+def power_spectrum(x, nfft=1024, fs=48000, hop=None):
     """IQ (complex [C,T]/[T] or planes [C,2,T]) -> (freqs, psd_db).
 
-    freqs in Hz relative to center; psd_db [C, nfft].
+    freqs in Hz relative to center; psd_db [C, nfft].  ``hop`` as in
+    ``_welch`` — scans over long captures pass hop=nfft (non-overlap).
     """
     from radiosonde_auto_rx_tpu.demod.fsk import iq_planes
     single = (np.ndim(x) == 1) or (jnp.iscomplexobj(x) and x.ndim == 1)
     x = iq_planes(x)
-    p = np.asarray(_welch(x, nfft))
+    p = np.asarray(_welch(x, nfft, hop))
     psd_db = 10.0 * np.log10(np.maximum(p, 1e-20))
     freqs = (np.arange(nfft) - nfft // 2) * (fs / nfft)
     return freqs, (psd_db[0] if single else psd_db)

@@ -237,7 +237,7 @@ class Station:
                      if self.in_capture(f * 1e6)]
         else:
             planes = self._wide_planes(wideband_iq)
-            pfreqs, psd = power_spectrum(planes[None], nfft=2048,
+            pfreqs, psd = power_spectrum(planes[None], nfft=2048, hop=2048,
                                          fs=self.fs_wide)
             psd = psd[0]
             peaks, nf = scan_peaks(
