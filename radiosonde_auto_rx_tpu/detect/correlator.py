@@ -38,6 +38,7 @@ def _windowed_sums(x, lens):
     C, T = x.shape
     lmax = int(lens.max())
     nvalid = T - lmax + 1
+    x = x.astype(jnp.float32)     # running sums accumulate in f32
     cs = jnp.concatenate(
         [jnp.zeros((C, 1), x.dtype), jnp.cumsum(x, axis=-1)], axis=-1)
     outs = []
@@ -103,7 +104,8 @@ def _corr_toeplitz(x, bank, block=128):
     rhs = w.reshape(K * B, 1, B + lmax - 1).astype(x.dtype)
     out = jax.lax.conv_general_dilated(
         xp[:, None, :], rhs, window_strides=(B,), padding=[(0, 0)],
-        dimension_numbers=("NCW", "OIW", "NCW"))            # [C, K*B, M]
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        preferred_element_type=jnp.float32)                 # [C, K*B, M]
     corr = out.reshape(C, K, B, M).transpose(0, 1, 3, 2).reshape(C, K, M * B)
     return corr[:, :, :nvalid]
 
@@ -131,23 +133,25 @@ def _correlate(x, bank, lens_t):
     lens = np.asarray(lens_t)
     method = _corr_method()
     if method == "toeplitz" and T >= 2 * lmax:
-        corr = _corr_toeplitz(x, bank)
+        corr = _corr_toeplitz(x, bank.astype(x.dtype))
     elif method == "fft" and T >= 2 * lmax:
-        corr = _corr_fft(x, bank)
+        corr = _corr_fft(x.astype(jnp.float32), bank.astype(jnp.float32))
     else:
-        corr = _corr_direct(x, bank)
-    s1 = _windowed_sums(x, lens)                        # [C,K,T']
-    s2 = _windowed_sums(x * x, lens)
+        corr = _corr_direct(x.astype(jnp.float32),
+                            bank.astype(jnp.float32))
+    xf = x.astype(jnp.float32)    # bf16 streams: square/sum in f32
+    s1 = _windowed_sums(xf, lens)                       # [C,K,T']
+    s2 = _windowed_sums(xf * xf, lens)
     lensf = jnp.asarray(lens, jnp.float32)[None, :, None]
     dc = s1 / lensf
     # norm of (x - dc) over the window; template sums ~0 so corr is
     # DC-corrected via corr - dc*sum(tmpl)
-    tsum = jnp.sum(bank, axis=-1)[None, :, None]
+    tsum = jnp.sum(bank, axis=-1)[None, :, None].astype(jnp.float32)
     corr = corr - dc * tsum
     xnorm = jnp.sqrt(jnp.maximum(s2 - lensf * dc * dc, 1e-12))
     # dead-air guard: windows much quieter than the channel (e.g. zero
     # padding) would divide ~0/~0 into garbage scores — zero them out
-    rms = jnp.sqrt(jnp.mean(x * x, axis=-1))[:, None, None]
+    rms = jnp.sqrt(jnp.mean(xf * xf, axis=-1))[:, None, None]
     floor = 0.05 * jnp.sqrt(lensf) * rms
     corr = jnp.where(xnorm < floor, 0.0, corr)
     return corr, xnorm, dc
@@ -178,7 +182,8 @@ def _correlate_peaks(x, bank, lens_t):
     ipk = jnp.argmax(jnp.abs(score), axis=-1)            # [C, K]
     val = jnp.take_along_axis(score, ipk[..., None], axis=-1)[..., 0]
     dcpk = jnp.take_along_axis(dc, ipk[..., None], axis=-1)[..., 0]
-    return val, ipk.astype(jnp.int32), dcpk, jnp.mean(x, axis=-1)
+    return (val, ipk.astype(jnp.int32), dcpk,
+            jnp.mean(x.astype(jnp.float32), axis=-1))
 
 
 def _headcmp(x_c, spec, start, fs, inverted, dc):
@@ -271,11 +276,14 @@ def detect_types(x, bank, lens, specs, fm_gain_hz=None, max_det=1,
     estimate (reference df = dc/(2*FM_GAIN*decM), :438-442).
     """
     single = np.ndim(x) == 1
-    xj = jnp.asarray(x, jnp.float32)
+    xj = jnp.asarray(x)
+    if not jnp.issubdtype(xj.dtype, jnp.floating):
+        xj = xj.astype(jnp.float32)
     if xj.ndim == 1:
         xj = xj[None, :]
     val_a, ipk_a, dc_a, xm = _correlate_peaks(
-        xj, jnp.asarray(bank), tuple(int(v) for v in lens))
+        xj, jnp.asarray(bank).astype(xj.dtype),
+        tuple(int(v) for v in lens))
     # only [C, K] peak stats cross to the host; the FM streams stay on
     # device and are fetched lazily per channel, only when a candidate
     # clears its threshold (rare: most scan channels are noise)
@@ -286,7 +294,8 @@ def detect_types(x, bank, lens, specs, fm_gain_hz=None, max_det=1,
 
     def chan(c):
         if c not in _cache:
-            _cache[c] = np.asarray(xj[c])
+            # host re-read path: always fetch f32 (streams may be bf16)
+            _cache[c] = np.asarray(xj[c].astype(jnp.float32))
         return _cache[c]
 
     out = []

@@ -262,3 +262,29 @@ def test_corr_toeplitz_matches_direct():
         b = np.asarray(_corr_toeplitz(x, bank))
         assert a.shape == b.shape
         assert np.abs(a - b).max() < 2e-3 * np.abs(a).max()
+
+
+def test_detection_bf16_streams(monkeypatch):
+    """The TPU default runs the detector on bf16 FM streams — force the
+    dtype on CPU and check a clean burst is still detected with a score
+    close to the f32 path."""
+    monkeypatch.setenv("RSX_DETECT_DTYPE", "bfloat16")
+    from radiosonde_auto_rx_tpu.detect.scanner import SondeDetector
+    from radiosonde_auto_rx_tpu.demod.modulate import gfsk_mod, add_awgn
+    spec = next(s for s in TEMPLATES if s.name == "RS41")
+    fs = 48000
+    rng = np.random.default_rng(3)
+    payload = rng.integers(0, 2, 600)
+    bits = np.concatenate([np.array([int(c) for c in spec.header] * 2),
+                           payload])
+    iq = add_awgn(gfsk_mod(bits, fs, int(spec.sps), 2, 0.0, 4800,
+                           bt=spec.bt), 12.0, fs, int(spec.sps))
+    x = np.zeros(fs, np.complex64)
+    x[2000:2000 + len(iq)] = iq
+    det = SondeDetector(fs)
+    d16 = det.detect(np.stack([x.real, x.imag]).astype(np.float32)[None])[0]
+    monkeypatch.setenv("RSX_DETECT_DTYPE", "float32")
+    d32 = det.detect(np.stack([x.real, x.imag]).astype(np.float32)[None])[0]
+    assert d16 and d16[0].name == "RS41", d16
+    assert d32 and d32[0].name == "RS41"
+    assert abs(d16[0].score - d32[0].score) < 0.02
