@@ -81,11 +81,14 @@ def bench_demod(on_tpu):
     # pipelined dispatch: enqueue all reps, sync once.  A synchronous
     # fetch per rep costs ~27 ms of tunnel round-trip on the axon
     # backend, which is latency, not throughput — production streaming
-    # overlaps dispatch with compute exactly like this.
-    t0 = time.perf_counter()
-    outs = [runj(x, state0) for _ in range(reps)]
-    float(outs[-1][0])                    # host fetch = hard sync point
-    dt = time.perf_counter() - t0
+    # overlaps dispatch with compute exactly like this.  Best of 3
+    # trials: the tunnel occasionally stalls a dispatch stream.
+    dt = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [runj(x, state0) for _ in range(reps)]
+        float(outs[-1][0])                # host fetch = hard sync point
+        dt = min(dt, time.perf_counter() - t0)
     return channels * t_samples * reps / dt / 1e6
 
 
@@ -140,10 +143,12 @@ def bench_station_step(on_tpu, duty=0.2):
     float(s), int(b)
 
     # pipelined dispatch (see bench_demod): sync once, not per rep
-    t0 = time.perf_counter()
-    outs = [stepj(wide) for _ in range(reps)]
-    float(outs[-1][0])
-    dt = time.perf_counter() - t0
+    dt = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [stepj(wide) for _ in range(reps)]
+        float(outs[-1][0])
+        dt = min(dt, time.perf_counter() - t0)
     msps = B * t_wide * reps / dt / 1e6
 
     mfu = hbm = None

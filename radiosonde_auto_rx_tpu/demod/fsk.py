@@ -335,11 +335,28 @@ def fsk_demod_block(cfg: FSKConfig, xw: jnp.ndarray, state: FSKState,
     cb, sb = jnp.cos(angb)[:, :, None, :], jnp.sin(angb)[:, :, None, :]
     ur = (xr2 * cb + xi2 * sb).sum(-1)                            # [C, M, nps]
     ui = (xi2 * cb - xr2 * sb).sum(-1)
-    a = jnp.arange(nps, dtype=jnp.float32) * np.float32(cfg.tsp)
-    pha = k[:, :, None] * a[None, None, :]
-    pha = pha - jnp.floor(pha)
-    anga = (2.0 * np.pi) * pha
-    ca, sa = jnp.cos(anga), jnp.sin(anga)                         # [C, M, nps]
+    # coarse rotation e^{-2πi f a·tsp}: built as the outer product of
+    # two short trig tables (a = a2*Q + r) — cos/sin pairs cost ~0.19 ns
+    # each on the VPU, so evaluating them at nA+Q ≈ 2√nps points and
+    # combining with complex multiplies (a few flops) removes the
+    # remaining transcendental bottleneck.  Same phase, same math.
+    Q = max(1, int(np.sqrt(nps)))
+    nA = -(-nps // Q)
+    aA = jnp.arange(nA, dtype=jnp.float32) * np.float32(Q * cfg.tsp)
+    phA = k[:, :, None] * aA[None, None, :]
+    phA = phA - jnp.floor(phA)
+    angA = (2.0 * np.pi) * phA
+    cA, sA = jnp.cos(angA), jnp.sin(angA)                         # [C, M, nA]
+    aR = jnp.arange(Q, dtype=jnp.float32) * np.float32(cfg.tsp)
+    phR = k[:, :, None] * aR[None, None, :]
+    phR = phR - jnp.floor(phR)
+    angR = (2.0 * np.pi) * phR
+    cR, sR = jnp.cos(angR), jnp.sin(angR)                         # [C, M, Q]
+    ca = (cA[:, :, :, None] * cR[:, :, None, :] -
+          sA[:, :, :, None] * sR[:, :, None, :]).reshape(C, M, nA * Q)
+    sa = (sA[:, :, :, None] * cR[:, :, None, :] +
+          cA[:, :, :, None] * sR[:, :, None, :]).reshape(C, M, nA * Q)
+    ca, sa = ca[:, :, :nps], sa[:, :, :nps]
     ps_re = ca * ur + sa * ui                                     # [C, M, nps]
     ps_im = ca * ui - sa * ur
     ni = (nsym + 1) * P
