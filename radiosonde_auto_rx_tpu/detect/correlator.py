@@ -106,6 +106,10 @@ def _corr_toeplitz(x, bank, block=128):
         xp[:, None, :], rhs, window_strides=(B,), padding=[(0, 0)],
         dimension_numbers=("NCW", "OIW", "NCW"),
         preferred_element_type=jnp.float32)                 # [C, K*B, M]
+    # the [C, K, T'] score cube is the stage's dominant HBM write; keep
+    # it in the stream dtype (bf16 on TPU) — accumulation was f32, and
+    # the normalization upcasts elementwise in-register
+    out = out.astype(x.dtype)
     corr = out.reshape(C, K, B, M).transpose(0, 1, 3, 2).reshape(C, K, M * B)
     return corr[:, :, :nvalid]
 
