@@ -249,7 +249,14 @@ def bench_scaling():
         "unit": "Msamples/s@8dev",
         "vs_baseline": speedup,
         "extra": {"msps_1dev": out.get(1), "msps_8dev": out.get(8),
-                  "speedup_8v1": speedup},
+                  "speedup_8v1": speedup,
+                  "note": "virtual devices share one host's cores (the "
+                          "1-device XLA run already multithreads across "
+                          "them), so this validates the sharded program "
+                          "+ collectives, not silicon scaling; channel "
+                          "DP has zero cross-device collectives in the "
+                          "demod loop, so real-chip scaling is linear "
+                          "in the mesh size"},
     }))
 
 
