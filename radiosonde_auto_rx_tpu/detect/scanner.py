@@ -89,29 +89,30 @@ class SondeDetector:
         C, _, T = x.shape
         sdt = stream_dtype()
         x = x.astype(sdt)
-        filt = [(i, h_if) for i, (h_if, _, _, _, _) in
-                enumerate(self.classes) if h_if is not None]
-        res, ims = [None] * len(self.classes), [None] * len(self.classes)
-        if filt:
-            hs = jnp.stack([h for _, h in filt]).astype(sdt)  # [F, K]
-            y = fir_filter_block(x.reshape(C * 2, T), hs)  # [2C, F, T]
-            y = y.reshape(C, 2, len(filt), T)
-            for fi, (i, _) in enumerate(filt):
-                res[i], ims[i] = y[:, 0, fi], y[:, 1, fi]
-        for i, (h_if, _, _, _, _) in enumerate(self.classes):
-            if h_if is None:
-                res[i], ims[i] = x[:, 0], x[:, 1]
-        # FM discriminator on class-stacked planes: w = z*conj(z_prev)
-        re = jnp.stack(res, axis=1).reshape(C * len(self.classes), T)
-        im = jnp.stack(ims, axis=1).reshape(C * len(self.classes), T)
-        rp = jnp.concatenate([re[:, :1], re[:, :-1]], axis=-1)
-        ip = jnp.concatenate([im[:, :1], im[:, :-1]], axis=-1)
-        wr = re * rp + im * ip
-        wi = im * rp - re * ip
-        fm = ((FM_GAIN / np.pi) * jnp.arctan2(
-            wi.astype(jnp.float32), wr.astype(jnp.float32))).astype(sdt)
-        fm = fm.reshape(C, len(self.classes), T)
-        out = [fm[:, i] for i in range(len(self.classes))]
+
+        def discr(re, im):
+            # w = z * conj(z_prev); atan2 evaluates f32 in-register
+            rp = jnp.concatenate([re[..., :1], re[..., :-1]], axis=-1)
+            ip = jnp.concatenate([im[..., :1], im[..., :-1]], axis=-1)
+            wr = re * rp + im * ip
+            wi = im * rp - re * ip
+            return ((FM_GAIN / np.pi) * jnp.arctan2(
+                wi.astype(jnp.float32), wr.astype(jnp.float32))).astype(sdt)
+
+        filt_idx = [i for i, cl in enumerate(self.classes)
+                    if cl[0] is not None]
+        out = [None] * len(self.classes)
+        if filt_idx:
+            hs = jnp.stack([self.classes[i][0]
+                            for i in filt_idx]).astype(sdt)   # [F, K]
+            y = fir_filter_block(x.reshape(C * 2, T), hs) \
+                .reshape(C, 2, len(filt_idx), T)
+            fmf = discr(y[:, 0], y[:, 1])                     # [C, F, T]
+            for fi, i in enumerate(filt_idx):
+                out[i] = fmf[:, fi]
+        for i, cl in enumerate(self.classes):
+            if cl[0] is None:
+                out[i] = discr(x[:, 0], x[:, 1])
         # FM audio lowpass, grouped by distinct taps
         groups = {}
         for i, (_, h_fm, _, _, _) in enumerate(self.classes):
