@@ -288,3 +288,21 @@ def test_detection_bf16_streams(monkeypatch):
     assert d16 and d16[0].name == "RS41", d16
     assert d32 and d32[0].name == "RS41"
     assert abs(d16[0].score - d32[0].score) < 0.02
+
+
+def test_welch_hop_modes_agree():
+    """Non-overlapping Welch (hop=nfft, the station-scan default) must
+    agree with 50%-overlap Welch on the noise floor and peak location."""
+    from radiosonde_auto_rx_tpu.detect.psd import _welch
+    rng = np.random.default_rng(0)
+    fs, T = 480000, 480000
+    t = np.arange(T) / fs
+    x = (0.3 * np.exp(2j * np.pi * 50e3 * t)).astype(np.complex64)
+    x += (rng.standard_normal(T) + 1j * rng.standard_normal(T)) \
+        .astype(np.complex64) * 0.02
+    planes = jnp.asarray(np.stack([x.real, x.imag])[None])
+    a = 10 * np.log10(np.asarray(_welch(planes, 1024)) + 1e-20)[0]
+    b = 10 * np.log10(np.asarray(_welch(planes, 1024, 1024)) + 1e-20)[0]
+    assert np.argmax(a) == np.argmax(b)
+    assert abs(np.median(a) - np.median(b)) < 0.5       # noise floor
+    assert abs(a.max() - b.max()) < 1.0                 # peak power
