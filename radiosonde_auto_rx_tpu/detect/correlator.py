@@ -90,7 +90,10 @@ def _corr_toeplitz(x, bank, block=128):
     whole bank correlates as one dense [*, B+Lmax-1] x [B+Lmax-1, K·B]
     matmul on the MXU.  The direct conv's K (≤16) output features use
     ≤16/128 of the MXU lanes; the FFT path rides XLA's slow TPU FFT
-    (~160 GFLOP/s effective).  Measured ~6x over both at bench geometry.
+    (~160 GFLOP/s effective).  Measured ~3x over both at bench geometry
+    (full _correlate incl. normalization: 38.3 -> 12.2 ms).
+    The output cube keeps the input dtype (bf16 on TPU) — it is the
+    stage's dominant HBM write; accumulation is f32 either way.
     """
     C, T = x.shape
     K, lmax = bank.shape
@@ -127,10 +130,12 @@ def _corr_method():
 
 @partial(jax.jit, static_argnames=("lens_t",))
 def _correlate(x, bank, lens_t):
-    """x: [C, T] float32 FM stream; bank: [K, Lmax].
+    """x: [C, T] FM stream (f32 or bf16 — see scanner.stream_dtype);
+    bank: [K, Lmax].
 
     Returns (corr [C,K,T'], xnorm [C,K,T'], dc [C,K,T']) at valid
     positions (T' = T-Lmax+1); correlation index t covers x[t:t+L_k].
+    Normalization terms always accumulate/evaluate in f32.
     """
     C, T = x.shape
     K, lmax = bank.shape
