@@ -3,14 +3,19 @@
 The reference shells out to libsamplerate for non-integer rate ratios
 (reference utils/tsrc.c:60-77, used for the M10 96k->48.08k chain,
 auto_rx/test/README.md:13-22).  Here the same windowed-sinc polyphase
-structure is expressed as static gathers + one batched contraction so it
-jits: for a rational ratio L/M every output sample n is
+structure runs as one dense matmul: for a rational ratio L/M every
+output sample n is
 
     y[n] = sum_j x[base_n - j] * h[j*L + p_n],   n*M = base_n*L + p_n
 
-i.e. a ``taps``-tap dot against the phase-``p_n`` row of the polyphase
-bank.  Output count, bases and phases depend only on (T, L, M) so the
-index tensors are host-precomputed constants and shapes stay static.
+and (base_n, p_n) repeat exactly with period L outputs / M inputs, so
+outputs come L at a time from input frames of hop M —
+``y[b, :] = frames[b, :] @ W`` with a host-built banded weight matrix
+``W [M+taps, L]``.  Frames are shifted reshaped views (no gather) and
+the only constant is W (a few MB at worst) — an earlier per-output
+gather-plan variant embedded O(T·taps) index constants in the program,
+which blew past the axon remote-compile request limit at 240 kHz rates
+and ran as a giant TPU gather everywhere else.
 """
 
 from fractions import Fraction
@@ -46,29 +51,54 @@ def _poly_bank(l_up: int, m_down: int, taps_per_phase: int):
 
 
 @lru_cache(maxsize=None)
-def _plan(t_in: int, l_up: int, m_down: int, taps_per_phase: int):
-    """Static gather plan: (idx [N_out, taps], phase [N_out])."""
+def _block_weights(l_up: int, m_down: int, taps_per_phase: int):
+    """Banded weight matrix W [win, L] with
+    y[b*L + p] = sum_i x[b*M + i_min + i] * W[i, p], plus (i_min, win).
+    """
     half = taps_per_phase // 2
-    # valid output range: window x[base-taps+1 .. base] shifted by +half
-    # to cancel the prototype group delay
-    n_out = (t_in - taps_per_phase) * l_up // m_down
-    n = np.arange(n_out, dtype=np.int64)
-    t_up = n * m_down
-    base = t_up // l_up + half
-    phase = (t_up % l_up).astype(np.int32)
-    j = np.arange(taps_per_phase, dtype=np.int64)
-    idx = base[:, None] - j[None, :]
-    idx = np.clip(idx, 0, t_in - 1)
-    return idx, phase
+    bank = _poly_bank(l_up, m_down, taps_per_phase)       # [L, taps]
+    p = np.arange(l_up, dtype=np.int64)
+    base0 = (p * m_down) // l_up + half                   # [L]
+    phase0 = (p * m_down) % l_up
+    i_min = int(base0.min()) - taps_per_phase + 1
+    i_max = int(base0.max())
+    win = i_max - i_min + 1
+    w = np.zeros((win, l_up), np.float32)
+    for pp in range(l_up):
+        j = np.arange(taps_per_phase)
+        w[base0[pp] - j - i_min, pp] = bank[phase0[pp], j]
+    return w, i_min, win
 
 
 @partial(jax.jit, static_argnames=("l_up", "m_down", "taps_per_phase"))
 def _resample(x, l_up, m_down, taps_per_phase):
-    idx, phase = _plan(x.shape[-1], l_up, m_down, taps_per_phase)
-    bank = jnp.asarray(_poly_bank(l_up, m_down, taps_per_phase))
-    w = x[..., idx]                                  # [..., N_out, taps]
-    rows = bank[phase]                               # [N_out, taps]
-    return jnp.sum(w * rows, axis=-1)
+    t_in = x.shape[-1]
+    n_out = (t_in - taps_per_phase) * l_up // m_down
+    w, i_min, win = _block_weights(l_up, m_down, taps_per_phase)
+    n_blk = -(-n_out // l_up)
+    # frame b covers x[b*M + i_min : b*M + i_min + win]; edge-replicate
+    # padding reproduces the index clip of the per-output formulation
+    pad_l = max(0, -i_min)                                # i_min <= 0
+    nq = -(-win // m_down)
+    need = (n_blk - 1 + nq) * m_down                      # xs length used
+    pad_r = max(0, need + i_min - t_in)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_l, pad_r)],
+                 mode="edge")
+    xs = xp[..., i_min + pad_l:]                          # start at i_min
+    tile = xs[..., :(n_blk - 1 + nq) * m_down]
+    tile = tile.reshape(tile.shape[:-1] + (n_blk - 1 + nq, m_down))
+    frames = jnp.concatenate(
+        [tile[..., q:q + n_blk, :] for q in range(nq)], axis=-1)
+    frames = frames[..., :win]                            # [.., n_blk, win]
+    wj = jnp.asarray(w)
+    if jnp.iscomplexobj(frames):
+        y = jax.lax.complex(jnp.einsum("...bw,wp->...bp", frames.real, wj),
+                            jnp.einsum("...bw,wp->...bp", frames.imag, wj))
+    else:
+        y = jnp.einsum("...bw,wp->...bp", frames, wj,
+                       preferred_element_type=jnp.float32)
+    y = y.reshape(y.shape[:-2] + (n_blk * l_up,))
+    return y[..., :n_out]
 
 
 def resample(x, fs_in: float, fs_out: float, taps_per_phase: int = 16,
