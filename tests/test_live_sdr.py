@@ -1,0 +1,207 @@
+"""Live-SDR-path integration tests with stub SDR binaries on PATH.
+
+The reference regression-tests its *production* rtl_fm chain without
+hardware by building a hacked stdin-reading rtl_fm (reference
+auto_rx/test/README.md:13-22, test_demod.py:426-441).  The TPU analogue:
+stub ``rtl_fm`` / ``rtl_sdr`` executables that synthesize an RS41 burst
+at the commanded capture rate, so the real subprocess capture path —
+command build (sources/sdr_wrappers.py) → Popen → pumped pipe → cs16
+wire conversion → prefetch queue → band-plan retune restart
+(station/main.py BlockSource) — is exercised end-to-end down to decoded
+telemetry, with zero hardware.
+"""
+
+import datetime
+import os
+import stat
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from radiosonde_auto_rx_tpu.station import Station
+from radiosonde_auto_rx_tpu.station.main import BlockSource
+
+FS_WIDE = 480_000
+N_CHAN = 10
+CENTER1 = 402.5e6
+CENTER2 = 403.0e6
+
+
+class _Args:
+    replay = None
+    replay_format = "cs16"
+    center = CENTER1 / 1e6
+    block_seconds = 2.0
+
+
+class _Collect:
+    def __init__(self):
+        self.items = []
+
+    def add(self, t):
+        self.items.append(t)
+
+    def close(self):
+        pass
+
+
+def _station():
+    cfg = {"capture_rate": FS_WIDE, "num_channels": N_CHAN,
+           "station_lat": 0.0, "station_lon": 0.0}
+    col = _Collect()
+    return Station(cfg, exporters=[col], center_freq_hz=CENTER1), col
+
+
+def _rs41_burst(offset_hz):
+    """~1.8 s RS41 GFSK burst at ``offset_hz`` from capture center,
+    complex64 at FS_WIDE (same fixture recipe as test_station_full_cycle)."""
+    from radiosonde_auto_rx_tpu.demod.modulate import gfsk_mod
+    from radiosonde_auto_rx_tpu.models.rs41 import (
+        encode_frame, frame_to_bits, make_calibytes)
+
+    rng = np.random.default_rng(11)
+    now = datetime.datetime.now(datetime.timezone.utc)
+    week = (now - datetime.datetime(1980, 1, 6,
+                                    tzinfo=datetime.timezone.utc)).days // 7
+    dow = (now.weekday() + 1) % 7
+    tow_ms = ((dow * 24 + now.hour) * 3600 + now.minute * 60 +
+              now.second) * 1000
+    cal = make_calibytes()
+    tx_bits = np.concatenate(
+        [rng.integers(0, 2, 400)] +
+        [frame_to_bits(encode_frame(
+            frame_nb=700 + i, sonde_id="L2468013", week=week,
+            tow_ms=tow_ms + i * 1000, lat=-35.1, lon=139.2, alt=8000.0,
+            calibytes=cal, calfr=i)) for i in range(3)] +
+        [rng.integers(0, 2, 400)])
+    return gfsk_mod(tx_bits, FS_WIDE, 4800, 2, offset_hz, 4800,
+                    bt=0.5).astype(np.complex64)
+
+
+def _install_stubs(tmp_path, burst_path, monkeypatch):
+    """Write fake rtl_fm / rtl_sdr executables into tmp_path and prepend
+    it to PATH.  The fake rtl_fm logs its commanded (-f, -s) to
+    RSX_FAKE_LOG, then emits one capture block of cs16: background noise
+    plus the prepared burst."""
+    stub = textwrap.dedent(f"""\
+        #!{sys.executable}
+        import os, sys
+        import numpy as np
+        args = sys.argv[1:]
+        center = fs = 0
+        for i, a in enumerate(args):
+            if a == "-f":
+                center = int(args[i + 1])
+            if a == "-s":
+                fs = int(args[i + 1])
+        with open(os.environ["RSX_FAKE_LOG"], "a") as f:
+            f.write(f"{{center}} {{fs}}\\n")
+        x = np.load(os.environ["RSX_FAKE_BURST"])
+        rng = np.random.default_rng(0)
+        T = int(fs * 2.2)
+        buf = (rng.standard_normal(T) +
+               1j * rng.standard_normal(T)).astype(np.complex64) * 0.002
+        buf[4096:4096 + len(x)] += x
+        i16 = np.empty(2 * T, np.int16)
+        i16[0::2] = np.clip(buf.real * 16384, -32767, 32767).astype(np.int16)
+        i16[1::2] = np.clip(buf.imag * 16384, -32767, 32767).astype(np.int16)
+        sys.stdout.buffer.write(i16.tobytes())
+        sys.stdout.buffer.flush()
+        """)
+    fm = tmp_path / "rtl_fm"
+    fm.write_text(stub)
+    fm.chmod(fm.stat().st_mode | stat.S_IEXEC)
+
+    sdr_ok = tmp_path / "rtl_sdr"
+    sdr_ok.write_text(f"#!{sys.executable}\nraise SystemExit(0)\n")
+    sdr_ok.chmod(sdr_ok.stat().st_mode | stat.S_IEXEC)
+
+    monkeypatch.setenv("PATH", f"{tmp_path}{os.pathsep}"
+                       f"{os.environ.get('PATH', '')}")
+    monkeypatch.setenv("RSX_FAKE_LOG", str(tmp_path / "tune.log"))
+    monkeypatch.setenv("RSX_FAKE_BURST", str(burst_path))
+    return tmp_path / "tune.log"
+
+
+def test_sdr_health_check_with_stub(tmp_path, monkeypatch):
+    from radiosonde_auto_rx_tpu.sources.sdr_wrappers import test_sdr
+    burst = tmp_path / "burst.npy"
+    np.save(burst, np.zeros(8, np.complex64))
+    _install_stubs(tmp_path, burst, monkeypatch)
+    assert test_sdr("RTLSDR", rtl_device_idx="0") is True
+    # a failing SDR (nonzero exit) must be reported unusable
+    bad = tmp_path / "rtl_sdr"
+    bad.write_text(f"#!{sys.executable}\nraise SystemExit(1)\n")
+    assert test_sdr("RTLSDR", rtl_device_idx="0") is False
+
+
+def test_subprocess_capture_to_telemetry(tmp_path, monkeypatch):
+    """Full production capture path: stub rtl_fm subprocess → pumped
+    cs16 pipe → BlockSource prefetch → Station decode → telemetry."""
+    st, col = _station()
+    burst = tmp_path / "burst.npy"
+    np.save(burst, _rs41_burst(float(st.freqs[7])))
+    tune_log = _install_stubs(tmp_path, burst, monkeypatch)
+
+    cfg = {"capture_rate": FS_WIDE, "sdr_type": "RTLSDR",
+           "sdr_hostname": "", "sdr_port": 5555}
+    src = BlockSource(cfg, _Args(), center_hz=CENTER1)
+    try:
+        center, block = src.read_block()
+        assert center == CENTER1
+        assert block is not None and block.shape[0] == 2
+        assert block.shape[1] == int(FS_WIDE * _Args.block_seconds)
+        # wire conversion really happened: cs16 → float32 planes in range
+        assert block.dtype == np.float32 and np.abs(block).max() <= 1.0
+
+        telems = st.process_capture(block)
+        assert telems, "no telemetry decoded via the subprocess path"
+        t = telems[-1]
+        assert t["id"] == "L2468013"
+        assert abs(t["lat"] + 35.1) < 1e-4
+        assert abs(t["freq_float"] -
+                   (CENTER1 + float(st.freqs[7])) / 1e6) < 1e-6
+        assert col.items
+    finally:
+        src.close()
+    # the capture command was built for the requested center/rate
+    lines = tune_log.read_text().split()
+    assert lines[0] == str(int(CENTER1)) and lines[1] == str(FS_WIDE)
+
+
+def test_retune_restarts_capture_process(tmp_path, monkeypatch):
+    """Band-plan hop: retune() must kill the old capture process, start a
+    new one on the new center, and never attribute old-center blocks to
+    the new center."""
+    st, _ = _station()
+    burst = tmp_path / "burst.npy"
+    np.save(burst, _rs41_burst(float(st.freqs[7])))
+    tune_log = _install_stubs(tmp_path, burst, monkeypatch)
+
+    cfg = {"capture_rate": FS_WIDE, "sdr_type": "RTLSDR",
+           "sdr_hostname": "", "sdr_port": 5555}
+    src = BlockSource(cfg, _Args(), center_hz=CENTER1)
+    try:
+        c1, b1 = src.read_block()
+        assert c1 == CENTER1 and b1 is not None
+        src.retune(CENTER2)
+        c2, b2 = src.read_block()
+        assert c2 == CENTER2 and b2 is not None
+
+        # both commanded centers hit the (stub) hardware, in order
+        runs = [line.split() for line in
+                tune_log.read_text().strip().splitlines()]
+        centers = [int(r[0]) for r in runs]
+        assert int(CENTER1) in centers and int(CENTER2) in centers
+        assert centers.index(int(CENTER1)) < centers.index(int(CENTER2))
+
+        # decode still works on the post-hop capture, reported at the
+        # new center (the stub transmits at the same channel offset)
+        telems = st.process_capture(b2, center_freq_hz=CENTER2)
+        assert telems
+        assert abs(telems[-1]["freq_float"] -
+                   (CENTER2 + float(st.freqs[7])) / 1e6) < 1e-6
+    finally:
+        src.close()
