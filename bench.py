@@ -141,9 +141,12 @@ def bench_station_step(on_tpu, duty=0.2):
         # full soft+bits reduction re-read (~0.75 GB/step) that the
         # production station never performs — it fetches only the
         # detect-duty subset of channels to the host frame plane.
-        duty_bits = outs["bits"][:n_det].astype(jnp.int32).sum()
-        probe = (outs["soft"][:, :, ::997].sum()
-                 if outs["soft"].ndim == 3 else outs["soft"][:, ::997].sum())
+        # Scan outputs are stacked [n_blocks, C, nsym] (fsk.py buffered
+        # scan): the duty subset is a slice of the CHANNEL axis (axis 1),
+        # and the soft probe strides the per-block symbol axis with a
+        # stride < nsym so every block contributes.
+        duty_bits = outs["bits"][:, :n_det].astype(jnp.int32).sum()
+        probe = outs["soft"][:, :, ::257].sum()
         return psd.sum() + corr_acc + probe, duty_bits
 
     stepj = jax.jit(step)

@@ -96,6 +96,12 @@ def _install_stubs(tmp_path, burst_path, monkeypatch):
                 center = int(args[i + 1])
             if a == "-s":
                 fs = int(args[i + 1])
+        if not center or not fs:
+            # fail fast if get_sdr_iq_cmd's flag spelling drifts from the
+            # '-f <int> -s <int>' form this stub parses
+            sys.stderr.write(f"stub rtl_fm: could not parse -f/-s "
+                             f"from {{args!r}}\\n")
+            raise SystemExit(2)
         with open(os.environ["RSX_FAKE_LOG"], "a") as f:
             f.write(f"{{center}} {{fs}}\\n")
         x = np.load(os.environ["RSX_FAKE_BURST"])
