@@ -137,6 +137,10 @@ def iq_planes(x) -> jnp.ndarray:
         return jnp.stack([x.real, x.imag], axis=1).astype(jnp.float32)
     x = jnp.asarray(x)
     assert x.ndim == 3 and x.shape[1] == 2, "real input must be [C, 2, T]"
+    # bf16 planes pass through (the channelizer's TPU output format —
+    # storage/IO dtype only; demod math upcasts to f32 in-register)
+    if x.dtype == jnp.bfloat16:
+        return x
     return x.astype(jnp.float32)
 
 
@@ -311,6 +315,9 @@ def fsk_demod_block(cfg: FSKConfig, xw: jnp.ndarray, state: FSKState,
     """
     C = xw.shape[0]
     M, P, nsym = cfg.m, cfg.p, cfg.nsym
+    # planes may arrive in bf16 (storage dtype); all demod math is f32 —
+    # the upcast fuses into the first consumer, costing no extra HBM pass
+    xw = xw.astype(jnp.float32)
 
     f_est, sf_new = _freq_est(cfg, xw, state["sf"])
     xr, xi = xw[:, 0], xw[:, 1]                                   # [C, nmem]

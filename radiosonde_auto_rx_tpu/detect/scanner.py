@@ -52,11 +52,31 @@ class SondeDetector:
     """
 
     def __init__(self, fs: int = 48000, specs=None, taps: int = 97,
-                 lband: bool = False):
+                 lband: bool = False, prescreen: bool = True,
+                 prescreen_margin: float | None = None):
         self.fs = fs
         self.lband = lband
         bw_table = LPIQ_BW_LBAND if lband else LPIQ_BW
         specs = TEMPLATES if specs is None else specs
+        # phase-1 reduced-rate prescreen (detect/prescreen.py): rejects
+        # empty channels before the full 4-stream multi-template pass.
+        # The default margin (prescreen.MARGIN) is validated by
+        # tests/test_prescreen.py across types/SNRs/offsets.  L-band
+        # profiles skip it (few channels).
+        self.prescreen = None
+        if prescreen and not lband:
+            from radiosonde_auto_rx_tpu.detect.prescreen import (
+                MARGIN, Prescreen)
+            try:
+                self.prescreen = Prescreen(fs, specs, bw_table, LPFM_BW,
+                                           taps)
+            except ValueError:      # a class too wide for fs/2
+                self.prescreen = None
+            if prescreen_margin is None:
+                prescreen_margin = MARGIN
+        self.prescreen_margin = float(prescreen_margin
+                                      if prescreen_margin is not None
+                                      else 0.55)
         # group templates by IF bandwidth class present at this rate
         self.classes = []
         for cls in sorted({s.lp_iq for s in specs}):
@@ -128,18 +148,48 @@ class SondeDetector:
                 out[i] = flt[:, k]
         return out
 
-    def detect(self, iq, max_det: int = 1, dc_block: bool = True):
+    def detect(self, iq, max_det: int = 1, dc_block: bool = True,
+               prescreen: bool | None = None):
         """iq: complex [T]/[C,T] or planes [C,2,T] -> detections.
 
         Returns a list of Detection for 1-D input, else a list per channel.
         Frequency offsets are in Hz (df = fs*dc/(2*FM_GAIN), the
         discriminator's normalization, demod/mod/demod_mod.c:298).
+
+        ``prescreen``: None = auto (use the half-rate phase-1 reject when
+        built and the batch is big enough to pay for it); True/False
+        forces.  Accepted channels always get the full-rate pass, so
+        detections are identical to ``prescreen=False`` except on
+        channels the prescreen rejects (validated to not include any
+        full-pass detections, tests/test_prescreen.py).
         """
         from radiosonde_auto_rx_tpu.demod.fsk import iq_planes
         single = np.ndim(iq) == 1
         x = iq_planes(iq)
         if dc_block:
             x = x - jnp.mean(x, axis=-1, keepdims=True) * 0.98
+        C = x.shape[0]
+        use_pre = self.prescreen is not None and \
+            (prescreen if prescreen is not None else C >= 8)
+        if use_pre:
+            ratio = np.asarray(self.prescreen.scores(x))
+            surv = np.flatnonzero(ratio >= self.prescreen_margin)
+            merged = [[] for _ in range(C)]
+            if surv.size:
+                # pad the survivor batch to a power of two so the full
+                # pass compiles for O(log C) shapes, not every count
+                n = 1 << max(0, int(np.ceil(np.log2(surv.size))))
+                pad = np.concatenate(
+                    [surv, np.full(n - surv.size, surv[0], surv.dtype)])
+                sub = self._detect_full(x[jnp.asarray(pad)], max_det)
+                for i, c in enumerate(surv):
+                    merged[int(c)] = sub[i]
+            return merged[0] if single else merged
+        merged = self._detect_full(x, max_det)
+        return merged[0] if single else merged
+
+    def _detect_full(self, x, max_det: int):
+        """Full-rate 4-stream multi-template pass on [C, 2, T] planes."""
         streams = self._condition(x)
         C = x.shape[0]
         merged = [[] for _ in range(C)]
@@ -155,4 +205,4 @@ class SondeDetector:
             merged[c].sort(key=lambda d: d.score, reverse=True)
             if max_det:
                 merged[c] = merged[c][:max_det]
-        return merged[0] if single else merged
+        return merged

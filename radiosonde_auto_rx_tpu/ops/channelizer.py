@@ -11,6 +11,7 @@ the cross-branch DFT is a pair of real [N, N] matmuls (MXU) — no backend
 FFT, no complex dtype.
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -18,6 +19,20 @@ import jax
 import jax.numpy as jnp
 
 from radiosonde_auto_rx_tpu.ops.fir import design_lowpass
+
+
+def _branch_dtype():
+    """dtype of the polyphase branch accumulator ``y``: bf16 on TPU
+    (halves the stage's dominant HBM traffic; the ±0.4% branch
+    quantization is ~-48 dB — far below any decodable channel's noise
+    floor), f32 elsewhere.  RSX_CHANNELIZER_DTYPE=float32|bfloat16
+    forces.  Channel outputs stay f32 either way (MXU accumulation is
+    f32)."""
+    forced = os.environ.get("RSX_CHANNELIZER_DTYPE")
+    if forced:
+        return jnp.dtype(forced)
+    return jnp.dtype(jnp.bfloat16) \
+        if jax.devices()[0].platform == "tpu" else jnp.dtype(jnp.float32)
 
 
 def pfb_prototype(n_chan: int, taps_per_branch: int = 12,
@@ -50,27 +65,39 @@ def _channelize(x, h, n_chan):
     T = x.shape[-1] // n_chan * n_chan
     x = x[:, :T]
     M = T // n_chan
+    ydt = _branch_dtype()
     # polyphase branches: branch r takes samples x[m*N + r]
-    xb = x.reshape(2, M, n_chan)                             # [2, M, N]
+    xb = x.reshape(2, M, n_chan).astype(ydt)                 # [2, M, N]
     # prototype branch taps: hb[p, r] = h[p*N + r]
-    hb = h.reshape(P, n_chan)                                # [P, N]
+    hb = h.reshape(P, n_chan).astype(ydt)                    # [P, N]
     # branch filtering as P shifted multiply-accumulates along M — the
     # lane dim (N) stays contiguous, so XLA fuses this into one
     # HBM-bound pass (a feature_group_count=2N grouped conv measured
-    # ~6x slower here: 100 groups of one channel defeat the MXU tiling)
+    # ~6x slower here: 100 groups of one channel defeat the MXU tiling;
+    # a dense strided conv folding the DFT in measured ~2x slower: XLA's
+    # stride-N conv lowering loses the im2col reuse)
     xp = jnp.pad(xb, ((0, 0), (P - 1, 0), (0, 0)))
     y = xp[:, P - 1:P - 1 + M, :] * hb[0]
     for p in range(1, P):
         y = y + xp[:, P - 1 - p:P - 1 - p + M, :] * hb[p]
     yr, yi = y[0], y[1]                                      # [M, N]
     # cross-branch DFT: z_k = sum_r y_r e^{-2πi rk/N} downconverts
-    # +k·fs/N; [M, N] x [N, N] matmuls ride the MXU
+    # +k·fs/N; dots with the [N, N] operand on the LEFT emit the [N, M]
+    # channel-major layout straight from the MXU (no transpose pass —
+    # measured 0.7 ms of the 11.6 ms stage at bench geometry)
     cosm, sinm = _dft_mats(n_chan)
-    cosm = jnp.asarray(cosm)
-    sinm = jnp.asarray(sinm)
-    zr = yr @ cosm + yi @ sinm                               # [M, N]
-    zi = yi @ cosm - yr @ sinm
-    return jnp.stack([zr.T, zi.T], axis=1)                   # [N, 2, M]
+    cosm = jnp.asarray(cosm).astype(ydt)
+    sinm = jnp.asarray(sinm).astype(ydt)
+    f32 = jnp.float32
+    zr = jnp.einsum("rk,mr->km", cosm, yr, preferred_element_type=f32) + \
+        jnp.einsum("rk,mr->km", sinm, yi, preferred_element_type=f32)
+    zi = jnp.einsum("rk,mr->km", cosm, yi, preferred_element_type=f32) - \
+        jnp.einsum("rk,mr->km", sinm, yr, preferred_element_type=f32)
+    # channel planes ship in the branch dtype (bf16 on TPU): every
+    # downstream consumer (prescreen, detector conditioning, demod
+    # window fetch) reads them once per block, so the plane dtype sets
+    # the station's dominant HBM traffic; all consumers compute in f32
+    return jnp.stack([zr, zi], axis=1).astype(ydt)           # [N, 2, M]
 
 
 def channelize(x, n_chan: int, h: np.ndarray | None = None):

@@ -86,26 +86,35 @@ def fir_filter(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     return y[0] if squeeze else y
 
 
-def _toeplitz_rows(h: jnp.ndarray, block: int) -> jnp.ndarray:
-    """[K] taps -> [block, block+K-1] banded rows w[j, i] = h[i - j].
+def _toeplitz_rows(h: jnp.ndarray, block: int, stride: int = 1
+                   ) -> jnp.ndarray:
+    """[K] taps -> [block, stride*(block-1)+K] rows w[j, i] = h[i - j*stride].
 
     Stacking a filter into `block` shifted copies turns a 1-output-column
     FIR conv into a dense [*, K+B-1] x [K+B-1, B] matmul: XLA lowers a
     single-feature conv to a matmul with ONE live output column (1/128 of
     the MXU lanes — measured ~f32-peak/128 on v5e), while the banded form
-    fills all B lanes for a (B+K-1)/K flop overhead.
+    fills all B lanes for a (B+K-1)/K flop overhead.  ``stride`` spaces
+    the rows so the matmul emits every stride-th output sample (fused
+    filter + decimate).
     """
     B = block
-    return jnp.stack([jnp.pad(h, (j, B - 1 - j)) for j in range(B)])
+    return jnp.stack([jnp.pad(h, (j * stride, (B - 1 - j) * stride))
+                      for j in range(B)])
 
 
-def fir_filter_block(x: jnp.ndarray, hs: jnp.ndarray, block: int = 256):
-    """MXU-dense FIR: filter [C, T] by a bank ``hs`` [F, K] -> [C, F, T].
+def fir_filter_block(x: jnp.ndarray, hs: jnp.ndarray, block: int = 256,
+                     stride: int = 1):
+    """MXU-dense FIR: filter [C, T] by a bank ``hs`` [F, K] -> [C, F, T'].
 
     Output matches ``fir_filter`` ('same' length, group-delay aligned) for
     each row of ``hs`` to f32 matmul accumulation order.  Implemented as a
     stride-``block`` conv whose kernel emits a full block of output
     samples per filter, i.e. a blocked-Toeplitz matmul.
+
+    ``stride`` > 1 emits every stride-th output sample (T' = ceil(T/stride)),
+    fusing the decimation into the same matmul — the filtered stream never
+    hits HBM at the full rate.
     """
     squeeze = x.ndim == 1
     if squeeze:
@@ -115,18 +124,20 @@ def fir_filter_block(x: jnp.ndarray, hs: jnp.ndarray, block: int = 256):
     C, T = x.shape
     F, K = hs.shape
     B = block
-    M = -(-T // B)
+    S = int(stride)
+    Tout = -(-T // S)
+    M = -(-Tout // B)
     d = (K - 1) // 2
     # _conv_same computes y[t] = sum_k xpad[t+k] * h[K-1-k]
     hf = hs[:, ::-1]
-    xp = jnp.pad(x, ((0, 0), (d, (K - 1 - d) + (M * B - T))))
-    w = jax.vmap(lambda h: _toeplitz_rows(h, B))(hf)       # [F, B, B+K-1]
-    rhs = w.reshape(F * B, 1, B + K - 1).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (d, (K - 1 - d) + (M * B * S - T))))
+    w = jax.vmap(lambda h: _toeplitz_rows(h, B, S))(hf)
+    rhs = w.reshape(F * B, 1, S * (B - 1) + K).astype(x.dtype)
     out = jax.lax.conv_general_dilated(
-        xp[:, None, :], rhs, window_strides=(B,), padding=[(0, 0)],
+        xp[:, None, :], rhs, window_strides=(B * S,), padding=[(0, 0)],
         dimension_numbers=("NCW", "OIW", "NCW"))            # [C, F*B, M]
     y = out.reshape(C, F, B, M).transpose(0, 1, 3, 2).reshape(C, F, M * B)
-    y = y[:, :, :T]
+    y = y[:, :, :Tout]
     return y[0] if squeeze else y
 
 

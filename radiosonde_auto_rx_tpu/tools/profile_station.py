@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from radiosonde_auto_rx_tpu.demod.fsk import (
     FSKConfig, fsk_init_state, fsk_num_blocks_buffered,
     _fsk_demod_scan_buffered)
-from radiosonde_auto_rx_tpu.detect.correlator import _correlate
+from radiosonde_auto_rx_tpu.detect.correlator import _correlate_peaks
 from radiosonde_auto_rx_tpu.detect.psd import _welch
 from radiosonde_auto_rx_tpu.detect.scanner import SondeDetector
 from radiosonde_auto_rx_tpu.ops.channelizer import _channelize, pfb_prototype
@@ -30,6 +30,7 @@ N_CHAN = 50
 B = 10                      # captures per step
 T_WIDE = 2_400_000          # 1 s per capture
 DUTY = 0.2                  # detector duty cycle
+CAP = 16                    # full-pass survivors (two-phase detect)
 REPS = 20
 TRIALS = 3
 
@@ -68,26 +69,27 @@ def main():
     chf = jax.jit(lambda w: jax.vmap(
         lambda x: _channelize(x, taps, N_CHAN))(w).reshape(C, 2, -1))(wide)
     chf.block_until_ready()
-    streams = jax.jit(lambda x: det._condition(x))(chf[:n_det])
-    jax.block_until_ready(streams)
 
     _timeit("channelize", lambda w: jax.vmap(
         lambda x: _channelize(x, taps, N_CHAN))(w)[:, :, :, :8],
         wide, samples=samples)
     _timeit("welch_psd hop=nfft", lambda w: _welch(w, 2048, 2048),
             wide, samples=samples)
-    _timeit("det_condition",
-            lambda x: [s[:, :8] for s in det._condition(x)],
+    _timeit("det_prescreen (duty chans)",
+            lambda x: det.prescreen.scores(x),
             chf[:n_det], samples=samples)
 
-    def corr_all(streams):
+    def full_pass(x):
+        streams = det._condition(x)
         acc = jnp.float32(0)
         for fm, (bank, lens_t) in zip(streams, classes):
-            corr, xnorm, _ = _correlate(fm, bank, lens_t)
-            acc = acc + (corr / xnorm).max()
+            val, ipk, dcpk, xm = _correlate_peaks(
+                fm, bank.astype(fm.dtype), lens_t)
+            acc = acc + val.max() + xm.sum()
         return acc
 
-    _timeit("det_correlate", corr_all, streams, samples=samples)
+    _timeit(f"det_full_pass ({CAP} ch)", full_pass, chf[:CAP],
+            samples=samples)
 
     def demod(chf):
         state = fsk_init_state(cfg, C)
