@@ -1,0 +1,318 @@
+"""Full sharded station step: the whole station dataflow on a (ch, t) mesh.
+
+Round-2 sharding covered only IF-FIR + FSK demod (parallel/pipeline.py).
+This module shards the COMPLETE per-block dataflow the production
+``Station.process_capture`` runs (station/station.py):
+
+    wideband captures [B, 2, T]
+      → PFB channelize            (halo'd overlap-save over ``t``)
+      → Welch PSD                 (per-shard partial sums, psum over ``t``)
+      → detect scores             (half-rate prescreen bank, pmax over ``t``)
+      → expert routing            (capacity-padded ``all_to_all`` over ``ch``)
+      → per-type FSK demod        (each shard demods its experts' channels)
+
+in two jitted programs.  ``analyze`` is data-independent; between the two
+the HOST applies its task state (temporary blocks, manual tasks, active
+decoders — reference auto_rx/auto_rx.py:304-537) to turn scores into the
+expert assignment, exactly where the reference's scan-results loop sits.
+``route_demod`` then moves detected channels to their type's expert shard
+(the MoE dispatch pattern over radio channels; the reference's analogue
+is one decoder subprocess per (SDR, type), auto_rx.py:101-128) and runs
+each type's demod chain where its channels landed.
+
+Expert set: the CHAIN_TABLE types whose demod runs directly on a 48 kHz
+channel (no fractional resample, no AFSK front-end) — 8 types, so the
+expert axis divides 1/2/4/8-way ``ch`` meshes.  The remaining types
+(DFM/M10 resamplers, iMet AFSK, the 1680 MHz wideband chains) keep the
+station's host-batched ``decode_channels`` path.
+
+SPMD note: expert ↔ shard assignment cannot be a Python-static branch
+(one program runs on every shard), so each local expert slot selects its
+demod via ``lax.switch`` over the type table indexed by
+``axis_index('ch')`` — all collectives stay OUTSIDE the switch (a
+collective inside data-dependent control flow would deadlock the mesh).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from radiosonde_auto_rx_tpu.demod.fsk import (
+    fsk_init_state, fsk_num_blocks_buffered, _fsk_demod_scan_buffered)
+from radiosonde_auto_rx_tpu.detect.prescreen import Prescreen
+from radiosonde_auto_rx_tpu.detect.psd import _welch
+from radiosonde_auto_rx_tpu.detect.scanner import LPIQ_BW, LPFM_BW
+from radiosonde_auto_rx_tpu.detect.templates import TEMPLATES
+from radiosonde_auto_rx_tpu.ops.channelizer import _channelize, pfb_prototype
+from radiosonde_auto_rx_tpu.parallel.halo import halo_exchange_left
+from radiosonde_auto_rx_tpu.parallel.mesh import CH_AXIS, T_AXIS
+from radiosonde_auto_rx_tpu.parallel.routing import compact_by_type, \
+    gather_type_batch
+
+# Types demodulated on-device as experts (CHAIN_TABLE entries that run
+# directly on the 48 kHz channel rate; station/station.py CHAIN_TABLE)
+EXPERT_TYPES = ("RS41", "RS92", "M20", "LMS6",
+                "IMET5", "MEISEI", "MRZ", "MTS01")
+
+# detector template name -> expert type (station.py MODEL_NAME plus the
+# identity rows); templates absent here fall back to the host path
+TEMPLATE_TO_EXPERT = {t: t for t in EXPERT_TYPES}
+
+
+class ShardedStationStep:
+    """The station's per-block device dataflow, sharded over (ch, t).
+
+    ``analyze(wide)``: wide [B, 2, T] f32 planes (sharded P(ch, -, t))
+        -> (channels [C, 2, Tc] (ch, -, t), psd [B, nfft] (ch),
+            ratios [C, K_templates] (ch))
+    ``route_demod(channels, expert_ids)``: expert_ids [C] int32 (-1 =
+        not routed) -> dict with per-expert soft/bits/ebno plus the
+        routed global channel ids and slot masks.
+    """
+
+    def __init__(self, mesh, n_chan: int = 50, fs_ch: int = 48000,
+                 capacity: int = 4, nfft: int = 2048,
+                 frame_halo: int = 26400):
+        from radiosonde_auto_rx_tpu.station.station import (CHAIN_TABLE,
+                                                            _demod_cfg)
+        self.mesh = mesh
+        self.n_chan = int(n_chan)
+        self.fs_ch = int(fs_ch)
+        self.capacity = int(capacity)
+        self.nfft = int(nfft)
+        self.n_sh = mesh.shape[CH_AXIS]
+        self.n_t = mesh.shape[T_AXIS]
+        assert len(EXPERT_TYPES) % self.n_sh == 0, \
+            f"{len(EXPERT_TYPES)} experts need a ch size dividing it, " \
+            f"got {self.n_sh}"
+        self.e_local = len(EXPERT_TYPES) // self.n_sh
+        self.taps = jnp.asarray(pfb_prototype(self.n_chan))
+        self.pfb_p = int(self.taps.shape[0]) // self.n_chan
+        self.prescreen = Prescreen(self.fs_ch, TEMPLATES, LPIQ_BW, LPFM_BW)
+        # template index (prescreen.spec_order) -> expert index or -1
+        self.template_expert = np.array(
+            [EXPERT_TYPES.index(TEMPLATE_TO_EXPERT[s.name])
+             if s.name in TEMPLATE_TO_EXPERT else -1
+             for s in self.prescreen.spec_order], np.int32)
+        self.expert_cfgs = []
+        for name in EXPERT_TYPES:
+            chain = CHAIN_TABLE[name]
+            self.expert_cfgs.append(_demod_cfg(
+                self.fs_ch, chain["rs"], chain.get("est", 10000),
+                chain.get("mask", 0)))
+        # demod halo = scan warmup (nmem + buffered-scan slack) plus a
+        # frame-length margin: a frame straddling a t-seam is fully
+        # demodulated by the shard owning its tail (frames longer than
+        # ``frame_halo`` samples — 0.55 s default, the RS41 frame — lose
+        # seam crossings, the same loss the reference takes at any
+        # decoder restart).  Each t-shard must hold >= halo_max samples.
+        self.halo_max = max(cfg.nmem + 8 * cfg.ts
+                            for cfg in self.expert_cfgs) + int(frame_halo)
+        # detection halo: longest full-rate template + both FIR stages
+        lmax = max(int(self.fs_ch / s.sps * len(s.header))
+                   for s in self.prescreen.spec_order)
+        self.det_halo = lmax + 4 * 97
+
+    # ------------------------------------------------------------------ #
+
+    def sharding(self, spec):
+        return NamedSharding(self.mesh, spec)
+
+    def _bits_len(self, t_local: int):
+        """Per-expert (soft/bits length, n_blocks) for a t-shard of
+        ``t_local`` channel samples (static table)."""
+        out = []
+        for cfg in self.expert_cfgs:
+            nb = fsk_num_blocks_buffered(cfg, t_local + self.halo_max)
+            out.append((nb * cfg.nsym * cfg.bits_per_symbol, nb))
+        return out
+
+    # ------------------------------------------------------------------ #
+
+    @partial(jax.jit, static_argnames=("self",))
+    def analyze(self, wide):
+        """Channelize + PSD + detection scores, sharded (ch, t)."""
+        N = self.n_chan
+        Pp = self.pfb_p
+        nfft = self.nfft
+        n_t = self.n_t
+        prescreen = self.prescreen
+        det_halo = self.det_halo
+
+        def body(wl):
+            B_l, _, T_l = wl.shape
+            assert T_l % N == 0, "t-shard must be a multiple of n_chan"
+            # --- channelize with (P-1)*N left halo: output columns are
+            # bit-identical to the unsharded _channelize of the full
+            # stream (shard 0's zero halo = the unsharded zero pad)
+            halo = (Pp - 1) * N
+            wx = halo_exchange_left(
+                wl.reshape(B_l * 2, T_l), halo, T_AXIS
+            ).reshape(B_l, 2, T_l + halo)
+            ch = jax.vmap(
+                lambda w: _channelize(w, self.taps, N))(wx)[..., Pp - 1:]
+            C_l = B_l * N
+            chf = ch.reshape(C_l, 2, T_l // N)
+            # --- Welch PSD: local segment sums, psum over t
+            psd = _welch(wl, nfft, hop=nfft)
+            # unconditional collective: also establishes t-replication
+            # for the out_specs check when n_t == 1
+            psd = jax.lax.psum(psd, T_AXIS) / n_t
+            # --- detection scores on every channel (half-rate prescreen
+            # bank); template-length halo so headers straddling a t-seam
+            # are still seen; max over t shards
+            dc = jnp.mean(chf, axis=-1, keepdims=True) * 0.98
+            chx = halo_exchange_left(
+                (chf - dc).reshape(C_l * 2, T_l // N), det_halo, T_AXIS
+            ).reshape(C_l, 2, -1)
+            ratios = prescreen.template_ratios(chx)
+            ratios = jax.lax.pmax(ratios, T_AXIS)
+            return chf, psd, ratios
+
+        return shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(CH_AXIS, None, T_AXIS),),
+            out_specs=(P(CH_AXIS, None, T_AXIS), P(CH_AXIS, None),
+                       P(CH_AXIS, None)),
+        )(wide)
+
+    # ------------------------------------------------------------------ #
+
+    def expert_assignment(self, ratios, margin: float = 1.0):
+        """Host policy: per-channel expert id from template ratios.
+
+        ratios: [C, K] (host numpy).  Returns (expert_ids [C] int32 with
+        -1 = no expert, best_template [C] int32).  The station layers its
+        task state (blocks, manual tasks, active decoders) on top.
+        """
+        r = np.asarray(ratios)
+        best = r.argmax(axis=1)
+        ok = r.max(axis=1) >= margin
+        exp = np.where(ok, self.template_expert[best], -1).astype(np.int32)
+        return exp, best.astype(np.int32)
+
+    # ------------------------------------------------------------------ #
+
+    @partial(jax.jit, static_argnames=("self",))
+    def route_demod(self, channels, expert_ids):
+        """All-to-all expert routing + per-type demod, sharded (ch, t).
+
+        channels: [C, 2, Tc] (ch, -, t); expert_ids: [C] int32 (ch).
+        Returns dict(soft [E, S, L], bits, ebno [E, S], ids [E, S],
+        mask [E, S]) with E = len(EXPERT_TYPES), S = n_sh * capacity,
+        soft/bits zero-padded to the longest expert's output and sliced
+        per-type via ``bits_lens()`` on the host.
+        """
+        n_sh, n_t = self.n_sh, self.n_t
+        e_local, cap = self.e_local, self.capacity
+        n_exp = len(EXPERT_TYPES)
+        cfgs = self.expert_cfgs
+        halo_max = self.halo_max
+
+        def body(xl, el):
+            C_l, _, T_l = xl.shape
+            assert T_l >= halo_max, (
+                f"t-shard holds {T_l} channel samples < demod halo "
+                f"{halo_max}; use fewer/longer time shards or a smaller "
+                f"frame_halo")
+            lens = self._bits_len(T_l)
+            out_max = max(v for v, _ in lens)
+            # global channel ids of this shard's rows
+            cid = jax.lax.axis_index(CH_AXIS) * C_l + jnp.arange(C_l)
+            slots, counts, dropped = compact_by_type(el, n_exp, cap)
+            batches, masks, ids = [], [], []
+            for e in range(n_exp):
+                b, m = gather_type_batch(xl, slots[e])
+                batches.append(b)
+                masks.append(m)
+                ids.append(jnp.where(m, cid[jnp.clip(slots[e], 0, C_l - 1)],
+                                     -1))
+            send = jnp.stack(batches).reshape(
+                (n_sh, e_local, cap) + xl.shape[1:])
+            send_m = jnp.stack(masks).reshape(n_sh, e_local, cap)
+            send_i = jnp.stack(ids).reshape(n_sh, e_local, cap)
+            recv = jax.lax.all_to_all(send, CH_AXIS, 0, 0, tiled=False)
+            recv_m = jax.lax.all_to_all(send_m, CH_AXIS, 0, 0, tiled=False)
+            recv_i = jax.lax.all_to_all(send_i, CH_AXIS, 0, 0, tiled=False)
+            # [n_src, e_local, cap, ...] -> expert-major, flatten slots
+            S_tot = n_sh * cap
+            recv = jnp.moveaxis(recv, 0, 1).reshape(
+                (e_local, S_tot) + xl.shape[1:])
+            recv_m = jnp.moveaxis(recv_m, 0, 1).reshape(e_local, S_tot)
+            recv_i = jnp.moveaxis(recv_i, 0, 1).reshape(e_local, S_tot)
+            # demod halo (one exchange OUTSIDE the expert switch — a
+            # collective inside lax.switch would deadlock the mesh)
+            flat = recv.reshape(e_local * S_tot * 2, T_l)
+            flat = halo_exchange_left(flat, halo_max, T_AXIS)
+            xh = flat.reshape(e_local, S_tot, 2, T_l + halo_max)
+
+            sid = jax.lax.axis_index(CH_AXIS)
+            soft_o, bits_o, ebno_o = [], [], []
+            for slot in range(e_local):
+                # this slot's expert id = sid * e_local + slot: select
+                # the demod program at runtime via switch over types
+                def branch(eidx):
+                    cfg = cfgs[eidx]
+                    blen, nb = lens[eidx]
+
+                    def run(xe):
+                        if nb == 0:
+                            z = jnp.zeros((S_tot, out_max), jnp.float32)
+                            return z, z, jnp.zeros((S_tot,), jnp.float32)
+                        state = fsk_init_state(cfg, S_tot)
+                        if hasattr(jax.lax, "pcast"):
+                            state = jax.tree.map(
+                                lambda a: jax.lax.pcast(
+                                    a, (CH_AXIS, T_AXIS), to="varying"),
+                                state)
+                        _, outs = _fsk_demod_scan_buffered(
+                            cfg, xe, state, nb)
+                        soft = jnp.transpose(outs["soft"], (1, 0, 2)
+                                             ).reshape(S_tot, -1)
+                        bits = jnp.transpose(outs["bits"], (1, 0, 2)
+                                             ).reshape(S_tot, -1)
+                        ebno = outs["ebno_db"].max(axis=0)
+                        pad = out_max - soft.shape[1]
+                        soft = jnp.pad(soft, ((0, 0), (0, pad)))
+                        bits = jnp.pad(bits.astype(jnp.float32),
+                                       ((0, 0), (0, pad)))
+                        return soft, bits, ebno
+                    return run
+
+                branches = [branch(s * e_local + slot)
+                            for s in range(n_sh)]
+                s_k, b_k, e_k = jax.lax.switch(sid, branches, xh[slot])
+                soft_o.append(s_k)
+                bits_o.append(b_k)
+                ebno_o.append(e_k)
+            # best block Eb/N0 across the time shards (unconditional:
+            # establishes t-replication for the out_specs check)
+            ebno = jax.lax.pmax(jnp.stack(ebno_o), T_AXIS)
+            return (jnp.stack(soft_o), jnp.stack(bits_o),
+                    ebno, recv_i, recv_m,
+                    dropped.sum()[None])
+
+        soft, bits, ebno, ids, mask, dropped = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(CH_AXIS, None, T_AXIS), P(CH_AXIS)),
+            out_specs=(P(CH_AXIS, None, T_AXIS), P(CH_AXIS, None, T_AXIS),
+                       P(CH_AXIS, None), P(CH_AXIS, None),
+                       P(CH_AXIS, None), P(CH_AXIS)),
+        )(channels, expert_ids)
+        return dict(soft=soft, bits=bits, ebno=ebno, ids=ids, mask=mask,
+                    dropped=dropped)
+
+    def bits_lens(self, t_total: int):
+        """Host helper: per-expert valid soft/bits length for a GLOBAL
+        channel-sample count ``t_total`` (the [E, S, L] outputs
+        concatenate ``n_t`` t-shards of padded slices; each shard's
+        valid prefix is ``_bits_len(t_total // n_t)``)."""
+        return self._bits_len(t_total // self.n_t)
