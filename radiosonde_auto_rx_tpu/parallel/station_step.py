@@ -54,8 +54,7 @@ from radiosonde_auto_rx_tpu.detect.templates import TEMPLATES
 from radiosonde_auto_rx_tpu.ops.channelizer import _channelize, pfb_prototype
 from radiosonde_auto_rx_tpu.parallel.halo import halo_exchange_left
 from radiosonde_auto_rx_tpu.parallel.mesh import CH_AXIS, T_AXIS
-from radiosonde_auto_rx_tpu.parallel.routing import compact_by_type, \
-    gather_type_batch
+from radiosonde_auto_rx_tpu.parallel.routing import dispatch_to_experts
 
 # Types demodulated on-device as experts (CHAIN_TABLE entries that run
 # directly on the 48 kHz channel rate; station/station.py CHAIN_TABLE)
@@ -227,27 +226,9 @@ class ShardedStationStep:
             out_max = max(v for v, _ in lens)
             # global channel ids of this shard's rows
             cid = jax.lax.axis_index(CH_AXIS) * C_l + jnp.arange(C_l)
-            slots, counts, dropped = compact_by_type(el, n_exp, cap)
-            batches, masks, ids = [], [], []
-            for e in range(n_exp):
-                b, m = gather_type_batch(xl, slots[e])
-                batches.append(b)
-                masks.append(m)
-                ids.append(jnp.where(m, cid[jnp.clip(slots[e], 0, C_l - 1)],
-                                     -1))
-            send = jnp.stack(batches).reshape(
-                (n_sh, e_local, cap) + xl.shape[1:])
-            send_m = jnp.stack(masks).reshape(n_sh, e_local, cap)
-            send_i = jnp.stack(ids).reshape(n_sh, e_local, cap)
-            recv = jax.lax.all_to_all(send, CH_AXIS, 0, 0, tiled=False)
-            recv_m = jax.lax.all_to_all(send_m, CH_AXIS, 0, 0, tiled=False)
-            recv_i = jax.lax.all_to_all(send_i, CH_AXIS, 0, 0, tiled=False)
-            # [n_src, e_local, cap, ...] -> expert-major, flatten slots
+            recv, recv_m, recv_i, dropped = dispatch_to_experts(
+                xl, el, n_exp, cap, n_sh, channel_ids=cid)
             S_tot = n_sh * cap
-            recv = jnp.moveaxis(recv, 0, 1).reshape(
-                (e_local, S_tot) + xl.shape[1:])
-            recv_m = jnp.moveaxis(recv_m, 0, 1).reshape(e_local, S_tot)
-            recv_i = jnp.moveaxis(recv_i, 0, 1).reshape(e_local, S_tot)
             # demod halo (one exchange OUTSIDE the expert switch — a
             # collective inside lax.switch would deadlock the mesh)
             flat = recv.reshape(e_local * S_tot * 2, T_l)

@@ -23,6 +23,7 @@ behavior.
 
 import logging
 import multiprocessing as mp
+import os
 import queue as queue_mod
 import traceback
 
@@ -74,19 +75,36 @@ class FramePlane:
         self._outq = None
         self._pending = 0
         self._next_ticket = 0
-        if self.workers > 0:
-            # spawn (not fork): the parent owns a live TPU client and
-            # forked children must never inherit its handles.  Workers
-            # import numpy-only decoder modules on startup.
-            ctx = mp.get_context("spawn")
-            self._outq = ctx.Queue()
-            for _ in range(self.workers):
-                q = ctx.Queue()
-                p = ctx.Process(target=_worker_main, args=(q, self._outq),
-                                daemon=True)
-                p.start()
-                self._inqs.append(q)
-                self._procs.append(p)
+
+    def _ensure_started(self):
+        """Spawn the pool lazily on the first pooled decode: a station
+        that never decodes (or is built just for scanning/tests) pays
+        nothing for the default-parallel config."""
+        if self._procs or self.workers <= 0:
+            return
+        # spawn re-imports __main__; an interpreter fed from stdin (or
+        # an embedded one without a real main file) cannot do that — the
+        # children would die with FileNotFoundError('<stdin>').  Fall
+        # back to the inline plane rather than losing every frame.
+        import __main__
+        mf = getattr(__main__, "__file__", None)
+        if mf is not None and not os.path.exists(mf):
+            log.warning("frame plane: __main__ is %r (not spawnable) — "
+                        "falling back to inline decode", mf)
+            self.workers = 0
+            return
+        # spawn (not fork): the parent owns a live TPU client and
+        # forked children must never inherit its handles.  Workers
+        # import numpy-only decoder modules on startup.
+        ctx = mp.get_context("spawn")
+        self._outq = ctx.Queue()
+        for _ in range(self.workers):
+            q = ctx.Queue()
+            p = ctx.Process(target=_worker_main, args=(q, self._outq),
+                            daemon=True)
+            p.start()
+            self._inqs.append(q)
+            self._procs.append(p)
 
     # ------------------------------------------------------------------ #
 
@@ -107,6 +125,7 @@ class FramePlane:
             self._inline_results = getattr(self, "_inline_results", {})
             self._inline_results[ticket] = telems
             return ticket
+        self._ensure_started()
         self._inqs[self._route(fz)].put(
             ("decode", ticket, fz, model_name, kwargs, bits, soft))
         self._pending += 1
@@ -138,7 +157,7 @@ class FramePlane:
         """Evict a frequency's decoder state (channel reaped/blocked)."""
         if self.workers == 0:
             self._decoders.pop(fz, None)
-        else:
+        elif self._inqs:                 # pool not started: nothing held
             self._inqs[self._route(fz)].put(("drop", fz))
 
     def close(self):

@@ -138,12 +138,16 @@ class Station:
         self._narrow = _BandProfile(self.n_chan, self.fs_wide)
         self._wide = None            # built lazily for >1 GHz captures
         self.rt_filter = RealtimeVelocityFilter(self.config["max_velocity"])
-        # parallel host frame plane: decoder worker pool (0 = inline).
+        # parallel host frame plane: decoder worker pool (0 = inline,
+        # -1 = auto-size; workers spawn lazily on first decode).
         # Replaces the reference's process-per-sonde decoder subprocesses
         # (reference decode.py:1602-2002) with an affinity-routed pool.
         from radiosonde_auto_rx_tpu.station.frame_plane import FramePlane
-        self.frame_plane = FramePlane(
-            int(self.config.get("frame_plane_workers", 0)))
+        n_workers = int(self.config.get("frame_plane_workers", -1))
+        if n_workers < 0:
+            import os as _os
+            n_workers = min(4, max(1, (_os.cpu_count() or 2) - 1))
+        self.frame_plane = FramePlane(n_workers)
         # task state (reference auto_rx.py task_list / temporary_block_list)
         self.active = {}             # freq_hz (int) -> dict(type, decoder, last_ok)
         self.temporary_blocks = {}   # freq_hz -> unblock time
@@ -310,14 +314,38 @@ class Station:
                 if name in CHAIN_TABLE or name in MODEL_NAME:
                     tasks.append((ci, name, det))
         # group same-type channels into one batched demod call — the
-        # channel batch IS the parallel axis, one device dispatch per type
+        # channel batch IS the parallel axis, one device dispatch per
+        # type.  Grouping runs through the EP-routing compaction
+        # primitive (parallel/routing.compact_by_type — the same slot
+        # layout route_to_experts ships over the mesh all_to_all;
+        # value-tested against a host dict grouping in
+        # tests/test_routing.py).
         telemetry_out = []
-        by_type = {}
-        for ci, name, det in tasks:
-            by_type.setdefault(name, []).append((ci, det))
-        for name, items in by_type.items():
+        for name, items in self.group_tasks_by_type(
+                tasks, prof.n_chan).items():
             telemetry_out.extend(self.decode_channels(ch, items, name))
         return telemetry_out
+
+    @staticmethod
+    def group_tasks_by_type(tasks, n_chan: int) -> dict:
+        """Group (channel, type, det) tasks into per-type channel lists
+        via the EP compaction primitive (parallel/routing.py)."""
+        if not tasks:
+            return {}
+        from radiosonde_auto_rx_tpu.parallel.routing import compact_by_type
+        names = sorted({name for _, name, _ in tasks})
+        type_ids = np.full(n_chan, -1, np.int32)
+        dets = {}
+        for ci, name, det in tasks:
+            type_ids[ci] = names.index(name)
+            dets[ci] = det
+        slots, counts, _ = compact_by_type(jnp.asarray(type_ids),
+                                           len(names), n_chan)
+        slots = np.asarray(slots)
+        counts = np.asarray(counts)
+        return {name: [(int(ci), dets[int(ci)])
+                       for ci in slots[k, :int(counts[k])]]
+                for k, name in enumerate(names) if counts[k]}
 
     # ------------------------------------------------------------------ #
     # web-control hooks (reference web.py control endpoints :445-661)

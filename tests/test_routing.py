@@ -59,9 +59,9 @@ def test_route_to_experts_all_to_all(rng):
     xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("ch")))
     ts = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("ch")))
     recv, mask, dropped = route_to_experts(mesh, xs, ts, n_exp, cap)
-    recv = np.asarray(recv)      # [n_exp, n_src, cap, F, T]
+    recv = np.asarray(recv)      # [n_exp, n_src * cap, F, T]
     mask = np.asarray(mask)
-    assert recv.shape == (n_exp, 4, cap, F, T)
+    assert recv.shape == (n_exp, 4 * cap, F, T)
     c_local = C // 4
     for e in range(n_exp):
         got = recv[e][mask[e]]                     # [n_recv, F, T]
@@ -77,3 +77,19 @@ def test_route_to_experts_all_to_all(rng):
         got_set = {tuple(np.round(g[0, :4], 5)) for g in got}
         want_set = {tuple(np.round(x[c][0, :4], 5)) for c in want}
         assert got_set == want_set
+
+
+def test_station_grouping_matches_host_dict(rng):
+    """Station.process_capture's per-type grouping (EP compaction
+    primitive) must equal the plain host dict grouping."""
+    from radiosonde_auto_rx_tpu.station.station import Station
+    tasks = [(3, "RS41", "d3"), (7, "M20", "d7"), (1, "RS41", "d1"),
+             (9, "DFM", "d9"), (5, "M20", "d5")]
+    got = Station.group_tasks_by_type(tasks, n_chan=16)
+    want = {}
+    for ci, name, det in tasks:
+        want.setdefault(name, []).append((ci, det))
+    assert set(got) == set(want)
+    for name in want:
+        assert sorted(got[name]) == sorted(want[name])
+    assert Station.group_tasks_by_type([], 16) == {}
