@@ -64,14 +64,26 @@ def test_resume_survives_retune(tmp_path):
     assert st2.active[fz]["type"] == "RS41"
 
 
-def test_decode_after_resume(tmp_path, rng):
-    """A resumed channel (decoder=None) decodes on the next block."""
+import pytest
+
+
+@pytest.mark.parametrize("workers", [0, -1], ids=["inline", "default"])
+def test_decode_after_resume(tmp_path, rng, workers):
+    """A resumed channel (decoder=None) decodes on the next block —
+    under both the inline frame plane and the default (pooled) one."""
     import datetime
     import jax.numpy as jnp
     from radiosonde_auto_rx_tpu.demod.modulate import gfsk_mod, add_awgn
     from radiosonde_auto_rx_tpu.models.rs41 import (encode_frame,
                                                     frame_to_bits,
                                                     make_calibytes)
+
+    def _station():
+        return Station({"capture_rate": 2_400_000, "num_channels": 50,
+                        "sondehub_enabled": False,
+                        "frame_plane_workers": workers}, exporters=[],
+                       center_freq_hz=402.5e6)
+
     st = _station()
     fz5 = st.freq_of_channel(5)
     st.active[fz5] = dict(type="RS41", decoder=object(), last_ok=0.0)
@@ -99,4 +111,10 @@ def test_decode_after_resume(tmp_path, rng):
     ch = jnp.asarray(np.stack([iq.real, iq.imag]).astype(np.float32))
     telems = st2.decode_channel(ch, 5, "RS41")
     assert telems and telems[-1]["id"] == "R7654321"
-    assert st2.active[fz5]["decoder"] is not None
+    # inline plane: the rebuilt decoder lives in the task state.  Pooled
+    # plane: the decoder lives in a worker process (proven by the telems
+    # above); the main-process state keeps only type/last_ok.
+    if st2.frame_plane.workers == 0:
+        assert st2.active[fz5]["decoder"] is not None
+    assert st2.active[fz5]["type"] == "RS41"
+    st2.frame_plane.close()
