@@ -126,8 +126,9 @@ def bench_station_step(on_tpu, duty=0.2, cap=16):
         ch = jax.vmap(lambda w: _channelize(w, taps, n_chan))(wide)
         C = B * n_chan
         chf = ch.reshape(C, 2, -1)
-        # 2. PSD scan over each wideband capture (station.scan)
-        psd = _welch(wide, 2048, hop=2048)   # non-overlap, as station.scan
+        # 2. PSD scan over each wideband capture (station.scan): sparse
+        # Welch, one 2048-window per 8192 samples, as station.scan
+        psd = _welch(wide, 2048, hop=8192)
         # 3. two-phase detect (as Station -> SondeDetector.detect):
         #    half-rate prescreen on the duty subset, then the full
         #    4-stream multi-template pass on the top-``cap`` survivors

@@ -195,8 +195,10 @@ def _correlate_peaks_exact(x, bank, lens_t):
             jnp.mean(x.astype(jnp.float32), axis=-1))
 
 
-@partial(jax.jit, static_argnames=("lens_t", "block", "rescore"))
-def _correlate_peaks_blocknorm(x, bank, lens_t, block=128, rescore=True):
+@partial(jax.jit, static_argnames=("lens_t", "block", "rescore",
+                                   "positions"))
+def _correlate_peaks_blocknorm(x, bank, lens_t, block=128, rescore=True,
+                               positions=True):
     """Peak reduction with block-granular normalization + exact rescore.
 
     The exact path materializes per-position windowed-sum cubes
@@ -259,10 +261,15 @@ def _correlate_peaks_blocknorm(x, bank, lens_t, block=128, rescore=True):
     # valid-position mask: t = m*B + j < nvalid
     t_pos = (m_idx[:, None] * B + jnp.arange(B)[None, :])  # [M, B]
     valid = t_pos < nvalid
-    # per-type fused normalize -> |score| argmax (each reduce fuses with
-    # its elementwise producers; a stacked [C, K, M, B] f32 score cube
-    # would otherwise materialize and dominate HBM traffic)
-    ifl_l, val_l, dc_l = [], [], []
+    # per-type block norms are cheap ([C, M] cumsum gathers); the heavy
+    # per-position work is ONE fused |corr - dc·tsum| argmax pass over
+    # the corr cube.  xn is constant across the B in-block offsets, so
+    # dividing by it cannot move the in-block argmax — normalization
+    # applies only to the gathered per-block winners [C, M, K], never to
+    # a per-position f32 score cube (the previous per-type normalize
+    # loop materialized K such [C, M, B] cubes and dominated the
+    # detect stage's HBM traffic).
+    dcs, xns = [], []
     for k in range(K):
         L = int(lens[k])
         lb = min(-(-L // B) + 1, Mb)                       # cover t..t+L+B
@@ -273,23 +280,46 @@ def _correlate_peaks_blocknorm(x, bank, lens_t, block=128, rescore=True):
             jnp.take_along_axis(cs2b, lo[None], axis=1)
         n = jnp.float32(lb * B)
         dc_a = s1 / n
-        xn_a = jnp.sqrt(jnp.maximum(s2 - n * dc_a * dc_a, 1e-12))
-        floor = 0.05 * jnp.sqrt(jnp.float32(L)) * rms[:, None]
-        sc = (corr[:, :, k].astype(jnp.float32) -
-              dc_a[:, :, None] * tsum[k]) / xn_a[:, :, None]
-        sc = jnp.where((xn_a < floor)[:, :, None] | ~valid[None], 0.0, sc)
-        ifl_k = jnp.argmax(jnp.abs(sc).reshape(C, M * B), axis=-1)   # [C]
-        ifl_l.append(ifl_k)
-        val_l.append(jnp.take_along_axis(
-            sc.reshape(C, M * B), ifl_k[:, None], axis=-1)[:, 0])
-        dc_l.append(jnp.take_along_axis(
-            dc_a, jnp.minimum(ifl_k[:, None] // B, Mb - lb), axis=-1)[:, 0])
-    ifl = jnp.stack(ifl_l, axis=1)                         # [C, K]
-    val_a = jnp.stack(val_l, axis=1)
-    dc_a_pk = jnp.stack(dc_l, axis=1)
-    m_pk, j_pk = ifl // B, ifl % B
-    t_pk = (m_pk * B + j_pk).astype(jnp.int32)
+        dcs.append(dc_a)
+        xns.append(jnp.sqrt(jnp.maximum(s2 - n * dc_a * dc_a, 1e-12)))
+    dc_all = jnp.stack(dcs, axis=2)                        # [C, M, K]
+    xn_all = jnp.stack(xns, axis=2)
+    lensf_k = jnp.asarray(lens, jnp.float32)[None, :]      # [1, K]
+    floor_ck = 0.05 * jnp.sqrt(lensf_k) * rms[:, None]     # [C, K]
+    tsum_b = tsum[None, None, :, None]
+    # invalid tail positions score -1 < |any valid| >= 0, so the argmax
+    # always lands on a valid position (every block has >= 1 valid j)
+    y = jnp.abs(corr.astype(jnp.float32) - dc_all[..., None] * tsum_b)
+    y = jnp.where(valid[None, :, None, :], y, -1.0)
     xm = jnp.mean(xf32, axis=-1)
+    if not positions:
+        # screening mode (prescreen.template_ratios): callers use only
+        # |score| vs threshold — skip the argmax reduce (measured ~3x
+        # the cost of the max reduce on v5e) and every gather; the max
+        # pass is the single fused read of the corr cube
+        y_best = jnp.max(y, axis=-1)                       # [C, M, K]
+        score = y_best / xn_all
+        score = jnp.where(xn_all < floor_ck[:, None, :], 0.0, score)
+        val_abs = jnp.max(score, axis=1)                   # [C, K]
+        zero = jnp.zeros_like(val_abs)
+        return val_abs, zero.astype(jnp.int32), zero, xm
+    j_best = jnp.argmax(y, axis=-1).astype(jnp.int32)      # [C, M, K]
+    y_best = jnp.max(y, axis=-1)
+    score = y_best / xn_all
+    score = jnp.where(xn_all < floor_ck[:, None, :], 0.0, score)
+    m_pk = jnp.argmax(score, axis=1)                       # [C, K]
+    j_pk = jnp.take_along_axis(j_best, m_pk[:, None, :], axis=1)[:, 0]
+    dc_a_pk = jnp.take_along_axis(dc_all, m_pk[:, None, :], axis=1)[:, 0]
+    xn_pk_b = jnp.take_along_axis(xn_all, m_pk[:, None, :], axis=1)[:, 0]
+    t_pk = (m_pk * B + j_pk).astype(jnp.int32)
+    # signed block-norm score at the winner: one tiny [C, K] gather from
+    # the corr cube (the rescore-path indexing pattern)
+    corr_pk_b = jnp.take_along_axis(
+        corr.reshape(C, M * K * B),
+        (m_pk * (K * B) + jnp.arange(K)[None, :] * B + j_pk),
+        axis=-1).astype(jnp.float32)
+    val_a = (corr_pk_b - dc_a_pk * tsum[None, :]) / xn_pk_b
+    val_a = jnp.where(xn_pk_b < floor_ck, 0.0, val_a)
     if not rescore:
         return val_a, t_pk, dc_a_pk, xm
 

@@ -171,8 +171,12 @@ class Prescreen:
             # CPU tests validate exactly what the TPU runs); approximate
             # peak scores suffice against the derated margin
             if fm.shape[-1] >= 2 * bank.shape[-1]:
+                # positions=False: screening needs only |score| ratios,
+                # so the corr cube gets one fused max pass (no argmax
+                # reduce, no peak gathers)
                 val, _, _, _ = _correlate_peaks_blocknorm(
-                    fm, bank.astype(fm.dtype), lens_t, rescore=False)
+                    fm, bank.astype(fm.dtype), lens_t, rescore=False,
+                    positions=False)
             else:
                 val, _, _, _ = _correlate_peaks_exact(
                     fm, bank.astype(fm.dtype), lens_t)

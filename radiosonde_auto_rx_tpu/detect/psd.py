@@ -54,20 +54,34 @@ def _welch(x, nfft, hop=None):
     """
     C, _, T = x.shape
     hop = nfft // 2 if hop is None else hop
-    assert nfft % hop == 0, "hop must divide nfft"
-    # the segment set at hop = nfft/k is exactly k interleaved
-    # non-overlapping tilings -> k reshaped VIEWS (a per-segment slice
-    # stack unrolls to thousands of XLA ops at wideband T; a fancy-index
-    # gather is slow on TPU).  The mean over segments is order-invariant
-    # so the tilings are reduced independently — no interleave copy.
-    nseg = (T - nfft) // hop + 1
-    groups = []                              # [(segs view, n_segs), ...]
-    for k in range(nfft // hop):
-        nk = (nseg - k + (nfft // hop) - 1) // (nfft // hop)
-        if nk > 0:
-            off = k * hop
-            groups.append(x[:, :, off:off + nk * nfft]
-                          .reshape(C, 2, nk, nfft))
+    if hop <= nfft:
+        assert nfft % hop == 0, "hop must divide nfft"
+        # the segment set at hop = nfft/k is exactly k interleaved
+        # non-overlapping tilings -> k reshaped VIEWS (a per-segment
+        # slice stack unrolls to thousands of XLA ops at wideband T; a
+        # fancy-index gather is slow on TPU).  The mean over segments is
+        # order-invariant so the tilings are reduced independently — no
+        # interleave copy.
+        nseg = (T - nfft) // hop + 1
+        groups = []                          # [(segs view, n_segs), ...]
+        for k in range(nfft // hop):
+            nk = (nseg - k + (nfft // hop) - 1) // (nfft // hop)
+            if nk > 0:
+                off = k * hop
+                groups.append(x[:, :, off:off + nk * nfft]
+                              .reshape(C, 2, nk, nfft))
+    else:
+        # sparse sampling (hop = k*nfft, integration duty 1/k): one
+        # nfft window per hop stride.  Welch variance per bin is
+        # 1/sqrt(n_segs); a wideband scan block still integrates
+        # hundreds of segments, so floor/peak estimates are unchanged
+        # within noise (tests/test_ops.py gates the agreement) at 1/k
+        # of the input traffic and DFT flops.
+        assert hop % nfft == 0, "sparse hop must be a multiple of nfft"
+        nseg = T // hop
+        assert nseg > 0, "capture shorter than one hop"
+        groups = [x[:, :, :nseg * hop]
+                  .reshape(C, 2, nseg, hop)[..., :nfft]]
     if _pallas_psd_enabled():
         # fused window+DFT+|.|^2+fftshift kernel per segment (opt-in)
         from radiosonde_auto_rx_tpu.ops.pallas_fft import fft_abs2

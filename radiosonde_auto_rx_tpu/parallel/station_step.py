@@ -160,8 +160,9 @@ class ShardedStationStep:
                 lambda w: _channelize(w, self.taps, N))(wx)[..., Pp - 1:]
             C_l = B_l * N
             chf = ch.reshape(C_l, 2, T_l // N)
-            # --- Welch PSD: local segment sums, psum over t
-            psd = _welch(wl, nfft, hop=nfft)
+            # --- Welch PSD: local segment sums, psum over t (sparse
+            # hop: one nfft window per 4*nfft — see station.scan)
+            psd = _welch(wl, nfft, hop=4 * nfft)
             # unconditional collective: also establishes t-replication
             # for the out_specs check when n_t == 1
             psd = jax.lax.psum(psd, T_AXIS) / n_t

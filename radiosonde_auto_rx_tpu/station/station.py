@@ -241,7 +241,13 @@ class Station:
                      if self.in_capture(f * 1e6)]
         else:
             planes = self._wide_planes(wideband_iq)
-            pfreqs, psd = power_spectrum(planes[None], nfft=2048, hop=2048,
+            # sparse Welch (one 2048-segment per 8192 samples): a block
+            # still integrates hundreds of segments, so floor/peaks are
+            # unchanged within noise (tests/test_ops.py) at 1/4 the
+            # input traffic — the reference integrates its PSD over
+            # ~20 s of rtl_power dwell for the same reason in reverse
+            # (reference autorx/scan.py:948-1009)
+            pfreqs, psd = power_spectrum(planes[None], nfft=2048, hop=8192,
                                          fs=self.fs_wide)
             psd = psd[0]
             peaks, nf = scan_peaks(

@@ -73,7 +73,7 @@ def main():
     _timeit("channelize", lambda w: jax.vmap(
         lambda x: _channelize(x, taps, N_CHAN))(w)[:, :, :, :8],
         wide, samples=samples)
-    _timeit("welch_psd hop=nfft", lambda w: _welch(w, 2048, 2048),
+    _timeit("welch_psd hop=4*nfft", lambda w: _welch(w, 2048, 8192),
             wide, samples=samples)
     _timeit("det_prescreen (duty chans)",
             lambda x: det.prescreen.scores(x),

@@ -306,3 +306,9 @@ def test_welch_hop_modes_agree():
     assert np.argmax(a) == np.argmax(b)
     assert abs(np.median(a) - np.median(b)) < 0.5       # noise floor
     assert abs(a.max() - b.max()) < 1.0                 # peak power
+    # sparse hop (one window per 4*nfft, the station-scan default):
+    # fewer segments raise the per-bin variance but floor/peaks hold
+    c = 10 * np.log10(np.asarray(_welch(planes, 1024, 4096)) + 1e-20)[0]
+    assert np.argmax(a) == np.argmax(c)
+    assert abs(np.median(a) - np.median(c)) < 0.5
+    assert abs(a.max() - c.max()) < 1.0
