@@ -54,6 +54,25 @@ def _dft_mats(n):
     return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
+def _dft_op_combined(n):
+    """[2N, 2N] operand computing the complex cross-branch DFT in ONE
+    matmul over y laid out [M, (re|im) x N]:
+
+        out[2k,   m] = sum_r cos[r,k]*yr[m,r] + sin[r,k]*yi[m,r]   (= zr_k)
+        out[2k+1, m] = sum_r cos[r,k]*yi[m,r] - sin[r,k]*yr[m,r]   (= zi_k)
+
+    Output columns are interleaved (zr_k, zi_k) so the [2N, M] result
+    reshapes straight to [N, 2, M] channel planes — no transpose pass,
+    and y is read once instead of once per real matmul."""
+    cos, sin = _dft_mats(n)
+    op = np.zeros((2 * n, 2 * n), np.float32)
+    op[:n, 0::2] = cos          # yr rows -> zr cols
+    op[n:, 0::2] = sin          # yi rows -> zr cols
+    op[:n, 1::2] = -sin         # yr rows -> zi cols
+    op[n:, 1::2] = cos          # yi rows -> zi cols
+    return op
+
+
 @partial(jax.jit, static_argnames=("n_chan",))
 def _channelize(x, h, n_chan):
     """x: [2, T] wideband planes; h: [P*N] prototype.
