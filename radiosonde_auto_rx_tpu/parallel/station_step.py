@@ -20,11 +20,17 @@ expert assignment, exactly where the reference's scan-results loop sits.
 is one decoder subprocess per (SDR, type), auto_rx.py:101-128) and runs
 each type's demod chain where its channels landed.
 
-Expert set: the CHAIN_TABLE types whose demod runs directly on a 48 kHz
-channel (no fractional resample, no AFSK front-end) — 8 types, so the
-expert axis divides 1/2/4/8-way ``ch`` meshes.  The remaining types
-(DFM/M10 resamplers, iMet AFSK, the 1680 MHz wideband chains) keep the
-station's host-batched ``decode_channels`` path.
+Expert set: EVERY CHAIN_TABLE type that demodulates on a 48 kHz channel
+— 12 experts, including the fractional-resample chains (DFM 50 kHz, M10
+48.08 kHz: the resampler is a static periodic-block matmul,
+ops/resample.py, so it runs inside the expert's ``lax.switch`` branch)
+and the iMet AFSK chain (IF lowpass → FM discriminator → Bell-202 FSK
+on the audio, models/imet4.py — IMET1RS/IMET1AB share the same demod
+program and are named host-side).  The expert list is padded internally
+to a multiple of the ``ch`` mesh size (pad experts are never routed and
+their switch branch emits zeros).  Only the wideband chains (WXR*,
+MK2LMS, RS92-NGP — which need >48 kHz channels) keep the station's
+host-batched ``decode_channels`` path.
 
 SPMD note: expert ↔ shard assignment cannot be a Python-static branch
 (one program runs on every shard), so each local expert slot selects its
@@ -52,18 +58,26 @@ from radiosonde_auto_rx_tpu.detect.psd import _welch
 from radiosonde_auto_rx_tpu.detect.scanner import LPIQ_BW, LPFM_BW
 from radiosonde_auto_rx_tpu.detect.templates import TEMPLATES
 from radiosonde_auto_rx_tpu.ops.channelizer import _channelize, pfb_prototype
+from radiosonde_auto_rx_tpu.ops.resample import rational_ratio, resample_planes
 from radiosonde_auto_rx_tpu.parallel.halo import halo_exchange_left
 from radiosonde_auto_rx_tpu.parallel.mesh import CH_AXIS, T_AXIS
 from radiosonde_auto_rx_tpu.parallel.routing import dispatch_to_experts
 
-# Types demodulated on-device as experts (CHAIN_TABLE entries that run
-# directly on the 48 kHz channel rate; station/station.py CHAIN_TABLE)
-EXPERT_TYPES = ("RS41", "RS92", "M20", "LMS6",
-                "IMET5", "MEISEI", "MRZ", "MTS01")
+# Types demodulated on-device as experts: every CHAIN_TABLE entry whose
+# demod runs on the 48 kHz channel (directly, via the static fractional
+# resampler, or via the AFSK front-end; station/station.py CHAIN_TABLE)
+EXPERT_TYPES = ("RS41", "RS92", "DFM", "M10", "M20", "LMS6",
+                "IMET5", "MEISEI", "MRZ", "MTS01", "IMET4", "RD94RD41")
 
-# detector template name -> expert type (station.py MODEL_NAME plus the
-# identity rows); templates absent here fall back to the host path
-TEMPLATE_TO_EXPERT = {t: t for t in EXPERT_TYPES}
+# detector template name -> expert type.  The M10 template nominates the
+# M10 expert by default (the reference's frm_M10 falls back to M10,
+# dft_detect.c:932-965); the confirmation pass resolves M10-vs-M20 and
+# the iMet subtypes before routing, so these defaults only matter for
+# margin-threshold-only routing.  Templates absent here (wideband
+# chains) fall back to the host path.
+TEMPLATE_TO_EXPERT = {t: t for t in EXPERT_TYPES
+                      if t not in ("M20", "IMET4")}
+TEMPLATE_TO_EXPERT["IMETafsk"] = "IMET4"
 
 
 class ShardedStationStep:
@@ -89,10 +103,11 @@ class ShardedStationStep:
         self.nfft = int(nfft)
         self.n_sh = mesh.shape[CH_AXIS]
         self.n_t = mesh.shape[T_AXIS]
-        assert len(EXPERT_TYPES) % self.n_sh == 0, \
-            f"{len(EXPERT_TYPES)} experts need a ch size dividing it, " \
-            f"got {self.n_sh}"
-        self.e_local = len(EXPERT_TYPES) // self.n_sh
+        # pad the expert axis up to a multiple of the ch mesh size; pad
+        # experts are never routed and their switch branch emits zeros
+        self.n_exp = len(EXPERT_TYPES)
+        self.n_exp_pad = -(-self.n_exp // self.n_sh) * self.n_sh
+        self.e_local = self.n_exp_pad // self.n_sh
         self.taps = jnp.asarray(pfb_prototype(self.n_chan))
         self.pfb_p = int(self.taps.shape[0]) // self.n_chan
         self.prescreen = Prescreen(self.fs_ch, TEMPLATES, LPIQ_BW, LPFM_BW)
@@ -102,19 +117,40 @@ class ShardedStationStep:
              if s.name in TEMPLATE_TO_EXPERT else -1
              for s in self.prescreen.spec_order], np.int32)
         self.expert_cfgs = []
+        self.expert_chain = []        # per-expert (resample_to, afsk)
+        halos = []
         for name in EXPERT_TYPES:
             chain = CHAIN_TABLE[name]
-            self.expert_cfgs.append(_demod_cfg(
-                self.fs_ch, chain["rs"], chain.get("est", 10000),
-                chain.get("mask", 0)))
+            rs_to = chain.get("resample_to")
+            afsk = bool(chain.get("afsk"))
+            if afsk:
+                from radiosonde_auto_rx_tpu.models.imet4 import \
+                    afsk_demod_config
+                cfg = afsk_demod_config(self.fs_ch)
+                rs_to = None
+            else:
+                cfg = _demod_cfg(rs_to or self.fs_ch, chain["rs"],
+                                 chain.get("est", 10000),
+                                 chain.get("mask", 0))
+            self.expert_cfgs.append(cfg)
+            self.expert_chain.append((rs_to, afsk))
+            # per-expert demod warmup in CHANNEL samples: nmem + scan
+            # slack at the effective rate, mapped back through the
+            # resampler (plus its taps-long transient) / AFSK FIRs
+            h = cfg.nmem + 8 * cfg.ts
+            if rs_to:
+                l_up, m_down = rational_ratio(self.fs_ch, rs_to)
+                h = -(-h * m_down // l_up) + 16
+            if afsk:
+                h += 2 * 97           # IF + audio lowpass transients
+            halos.append(h)
         # demod halo = scan warmup (nmem + buffered-scan slack) plus a
         # frame-length margin: a frame straddling a t-seam is fully
         # demodulated by the shard owning its tail (frames longer than
         # ``frame_halo`` samples — 0.55 s default, the RS41 frame — lose
         # seam crossings, the same loss the reference takes at any
         # decoder restart).  Each t-shard must hold >= halo_max samples.
-        self.halo_max = max(cfg.nmem + 8 * cfg.ts
-                            for cfg in self.expert_cfgs) + int(frame_halo)
+        self.halo_max = max(halos) + int(frame_halo)
         # detection halo: longest full-rate template + both FIR stages
         lmax = max(int(self.fs_ch / s.sps * len(s.header))
                    for s in self.prescreen.spec_order)
@@ -127,10 +163,15 @@ class ShardedStationStep:
 
     def _bits_len(self, t_local: int):
         """Per-expert (soft/bits length, n_blocks) for a t-shard of
-        ``t_local`` channel samples (static table)."""
+        ``t_local`` channel samples (static table).  Resampled experts
+        count blocks at their effective rate."""
         out = []
-        for cfg in self.expert_cfgs:
-            nb = fsk_num_blocks_buffered(cfg, t_local + self.halo_max)
+        for cfg, (rs_to, _) in zip(self.expert_cfgs, self.expert_chain):
+            t_eff = t_local + self.halo_max
+            if rs_to:
+                l_up, m_down = rational_ratio(self.fs_ch, rs_to)
+                t_eff = (t_eff - 16) * l_up // m_down
+            nb = fsk_num_blocks_buffered(cfg, t_eff)
             out.append((nb * cfg.nsym * cfg.bits_per_symbol, nb))
         return out
 
@@ -213,8 +254,10 @@ class ShardedStationStep:
         """
         n_sh, n_t = self.n_sh, self.n_t
         e_local, cap = self.e_local, self.capacity
-        n_exp = len(EXPERT_TYPES)
+        n_exp, n_exp_pad = self.n_exp, self.n_exp_pad
         cfgs = self.expert_cfgs
+        chains = self.expert_chain
+        fs_ch = self.fs_ch
         halo_max = self.halo_max
 
         def body(xl, el):
@@ -228,7 +271,7 @@ class ShardedStationStep:
             # global channel ids of this shard's rows
             cid = jax.lax.axis_index(CH_AXIS) * C_l + jnp.arange(C_l)
             recv, recv_m, recv_i, dropped = dispatch_to_experts(
-                xl, el, n_exp, cap, n_sh, channel_ids=cid)
+                xl, el, n_exp_pad, cap, n_sh, channel_ids=cid)
             S_tot = n_sh * cap
             # demod halo (one exchange OUTSIDE the expert switch — a
             # collective inside lax.switch would deadlock the mesh)
@@ -242,13 +285,31 @@ class ShardedStationStep:
                 # this slot's expert id = sid * e_local + slot: select
                 # the demod program at runtime via switch over types
                 def branch(eidx):
+                    if eidx >= n_exp:       # mesh-divisibility pad slot
+                        def run_pad(xe):
+                            z = jnp.zeros((S_tot, out_max), jnp.float32)
+                            return z, z, jnp.zeros((S_tot,), jnp.float32)
+                        return run_pad
                     cfg = cfgs[eidx]
                     blen, nb = lens[eidx]
+                    rs_to, afsk = chains[eidx]
 
                     def run(xe):
                         if nb == 0:
                             z = jnp.zeros((S_tot, out_max), jnp.float32)
                             return z, z, jnp.zeros((S_tot,), jnp.float32)
+                        if rs_to:
+                            # static periodic-block matmul resampler
+                            # (the tsrc analogue, ops/resample.py)
+                            xe = resample_planes(xe, fs_ch, rs_to)
+                        if afsk:
+                            # Bell-202: IF lowpass -> FM discriminator
+                            # -> audio lowpass, then FSK on the tones
+                            from radiosonde_auto_rx_tpu.models.imet4 \
+                                import afsk_fm_audio
+                            audio = afsk_fm_audio(xe, fs_ch)
+                            xe = jnp.stack(
+                                [audio, jnp.zeros_like(audio)], axis=1)
                         state = fsk_init_state(cfg, S_tot)
                         if hasattr(jax.lax, "pcast"):
                             state = jax.tree.map(
@@ -289,8 +350,10 @@ class ShardedStationStep:
                        P(CH_AXIS, None), P(CH_AXIS, None),
                        P(CH_AXIS, None), P(CH_AXIS)),
         )(channels, expert_ids)
-        return dict(soft=soft, bits=bits, ebno=ebno, ids=ids, mask=mask,
-                    dropped=dropped)
+        # drop the mesh-divisibility pad experts (always-masked rows)
+        return dict(soft=soft[:self.n_exp], bits=bits[:self.n_exp],
+                    ebno=ebno[:self.n_exp], ids=ids[:self.n_exp],
+                    mask=mask[:self.n_exp], dropped=dropped)
 
     def bits_lens(self, t_total: int):
         """Host helper: per-expert valid soft/bits length for a GLOBAL

@@ -21,10 +21,13 @@ from radiosonde_auto_rx_tpu.parallel.station_step import (
 N_CHAN = 16
 FS_WIDE = 768_000
 B = 4                     # captures (one per ch shard on the 4x2 mesh)
-T_WIDE = 1_536_000        # 2 s -> 96000 channel samples (t-shards must
-                          # hold the demod halo incl. frame margin)
+T_WIDE = 2_304_000        # 3 s -> 144000 channel samples (t-shards must
+                          # hold the demod halo incl. frame margin; DFM
+                          # needs >= 2 full 1.12 s cycles to decode)
 RS41_CAP, RS41_CH = 0, 5
 M20_CAP, M20_CH = 3, 9
+DFM_CAP, DFM_CH = 1, 4    # resampled expert (48 kHz -> 50 kHz)
+M10_CAP, M10_CH = 2, 11   # resampled expert (48 kHz -> 48.08 kHz)
 
 
 def _rs41_bits(rng):
@@ -55,6 +58,35 @@ def _m20_bits(rng):
     return np.concatenate([idle, raw, idle])
 
 
+def _dfm_bits(rng):
+    from radiosonde_auto_rx_tpu.models.dfm import encode_flight_bits
+    return np.concatenate([
+        rng.integers(0, 2, 500).astype(np.uint8),
+        encode_flight_bits(sn=21054321, lat=47.9, lon=16.8,
+                           n_cycles=2, time_step=1.0).astype(np.uint8)])
+
+
+def _m10_bits(rng):
+    from radiosonde_auto_rx_tpu.models.m10 import (
+        encode_frame_m10, frame_to_raw_bits)
+    idle = np.tile(np.concatenate([np.ones(8, np.uint8),
+                                   np.zeros(8, np.uint8)]), 40)
+    raw = np.concatenate([frame_to_raw_bits(encode_frame_m10(
+        lat=48.2, lon=16.4, alt=11000.0)) for _ in range(3)])
+    return np.concatenate([idle, raw, idle])
+
+
+def _taper(sig, n=4096):
+    """Cosine ramp on the burst edges: an instantaneous IQ amplitude
+    step is nonphysical (real transmitters key up/down over many
+    symbols) and its broadband transient lands in different sparse-Welch
+    segments depending on tiling offset."""
+    w = 0.5 - 0.5 * np.cos(np.pi * np.arange(n) / n)
+    sig[:n] *= w
+    sig[-n:] *= w[::-1]
+    return sig
+
+
 @pytest.fixture(scope="module")
 def wide_captures():
     rng = np.random.default_rng(7)
@@ -62,12 +94,18 @@ def wide_captures():
     wide = (rng.standard_normal((B, T_WIDE)) +
             1j * rng.standard_normal((B, T_WIDE))
             ).astype(np.complex64) * 0.002
-    rs41 = gfsk_mod(_rs41_bits(rng), FS_WIDE, 4800, 2,
-                    freqs[RS41_CH], 4800, bt=0.5)[:T_WIDE]
+    rs41 = _taper(gfsk_mod(_rs41_bits(rng), FS_WIDE, 4800, 2,
+                           freqs[RS41_CH], 4800, bt=0.5)[:T_WIDE])
     wide[RS41_CAP, :len(rs41)] += rs41
-    m20 = gfsk_mod(_m20_bits(rng), FS_WIDE, 9600, 2,
-                   freqs[M20_CH], 9600, bt=1.0)[:T_WIDE]
+    m20 = _taper(gfsk_mod(_m20_bits(rng), FS_WIDE, 9600, 2,
+                          freqs[M20_CH], 9600, bt=1.0)[:T_WIDE])
     wide[M20_CAP, :len(m20)] += m20
+    dfm = _taper(gfsk_mod(_dfm_bits(rng), FS_WIDE, 2500, 2,
+                          freqs[DFM_CH], 5000, bt=0.5)[:T_WIDE])
+    wide[DFM_CAP, :len(dfm)] += dfm
+    m10 = _taper(gfsk_mod(_m10_bits(rng), FS_WIDE, 9616, 2,
+                          freqs[M10_CH], 10000, bt=1.0)[:T_WIDE])
+    wide[M10_CAP, :len(m10)] += m10
     return np.stack([wide.real, wide.imag], axis=1).astype(np.float32)
 
 
@@ -133,7 +171,9 @@ def _route(step, analyzed_item, override):
 @pytest.fixture(scope="module")
 def routed(steps, analyzed):
     override = {RS41_CAP * N_CHAN + RS41_CH: "RS41",
-                M20_CAP * N_CHAN + M20_CH: "M20"}
+                M20_CAP * N_CHAN + M20_CH: "M20",
+                DFM_CAP * N_CHAN + DFM_CH: "DFM",
+                M10_CAP * N_CHAN + M10_CH: "M10"}
     s1, s8 = steps
     return (_route(s1, analyzed[0], override),
             _route(s8, analyzed[1], override))
@@ -193,11 +233,36 @@ def test_route_demod_decodes_telemetry(steps, analyzed, routed,
     assert abs(telems[-1]["lat"] - 52.1) < 1e-4
 
 
+@pytest.mark.parametrize("mesh_idx,label", [(0, "1dev"), (1, "4x2mesh")])
+def test_route_demod_decodes_resampled_experts(steps, analyzed, routed,
+                                               mesh_idx, label):
+    """The fractional-resample experts (DFM 50 kHz, M10 48.08 kHz) decode
+    telemetry through the routed sharded step (round-3 verdict #2; the
+    reference's chains resample with tsrc, auto_rx/test/README.md:13-22)."""
+    step = steps[mesh_idx]
+    ch, _, _ = analyzed[mesh_idx]
+    res = routed[mesh_idx]
+    t_total = int(ch.shape[-1])
+
+    bits = _expert_bits(step, res, "DFM", DFM_CAP * N_CHAN + DFM_CH,
+                        t_total)
+    telems = get_model("DFM")().decode_bits(bits, None)
+    assert telems, f"no DFM telemetry through {label}"
+    assert abs(telems[-1]["lat"] - 47.9) < 1e-4
+    assert abs(telems[-1]["lon"] - 16.8) < 1e-4
+
+    bits = _expert_bits(step, res, "M10", M10_CAP * N_CHAN + M10_CH,
+                        t_total)
+    telems = get_model("M10")().decode_bits(bits, None)
+    assert telems, f"no M10 telemetry through {label}"
+    assert abs(telems[-1]["lat"] - 48.2) < 1e-4
+
+
 def test_route_demod_masks_and_dropped(steps, routed):
     _, s8 = steps
     _, res8 = routed
     mask = np.asarray(res8["mask"])
     ids = np.asarray(res8["ids"])
-    assert mask.sum() == 2                      # exactly the two sondes
+    assert mask.sum() == 4                      # exactly the four sondes
     assert (ids[~mask] == -1).all()
     assert np.asarray(res8["dropped"]).sum() == 0
