@@ -443,42 +443,19 @@ def _imet_subtype(x_c, pos, fs, wideband=False):
     return None
 
 
-def detect_types(x, bank, lens, specs, fm_gain_hz=None, max_det=1,
-                 fs=48000, wideband=False):
-    """Detect sonde types in FM stream(s).
+def decide_from_peaks(val_a, ipk_a, dc_a, xm, specs, lens, chan,
+                      fm_gain_hz=None, max_det=1, fs=48000,
+                      wideband=False):
+    """Host decision loop over per-(channel, type) correlation peaks:
+    threshold -> header re-read confirmation (headcmp) -> M10/M20 and
+    iMet subtype disambiguation -> Detection list per channel
+    (reference scan/dft_detect.c:866-965,1509-1607).
 
-    x: [T] or [C, T] float32 FM discriminator output (≈ normalized
-    instantaneous frequency).  Returns per channel a list of Detection
-    sorted by score (reference emits the best type, dft_detect.c:1612-1666).
-    Candidates are confirmed by re-reading the header bits at the detected
-    position and bounding the bit errors (reference headcmp + herrs,
-    dft_detect.c:866-901,1509-1524).
-    ``fm_gain_hz``: scale from FM units to Hz for the frequency-offset
-    estimate (reference df = dc/(2*FM_GAIN*decM), :438-442).
-    """
-    single = np.ndim(x) == 1
-    xj = jnp.asarray(x)
-    if not jnp.issubdtype(xj.dtype, jnp.floating):
-        xj = xj.astype(jnp.float32)
-    if xj.ndim == 1:
-        xj = xj[None, :]
-    val_a, ipk_a, dc_a, xm = _correlate_peaks(
-        xj, jnp.asarray(bank).astype(xj.dtype),
-        tuple(int(v) for v in lens))
-    # only [C, K] peak stats cross to the host; the FM streams stay on
-    # device and are fetched lazily per channel, only when a candidate
-    # clears its threshold (rare: most scan channels are noise)
-    val_a, ipk_a, dc_a, xm = (np.asarray(v) for v in
-                              (val_a, ipk_a, dc_a, xm))
+    ``chan(c)`` lazily returns channel ``c``'s conditioned FM stream as
+    float32 — shared by the single-device detector (detect_types) and
+    the sharded station step's confirmation pass
+    (parallel/station_step.py ShardedStationStep.confirm)."""
     C = val_a.shape[0]
-    _cache = {}
-
-    def chan(c):
-        if c not in _cache:
-            # host re-read path: always fetch f32 (streams may be bf16)
-            _cache[c] = np.asarray(xj[c].astype(jnp.float32))
-        return _cache[c]
-
     out = []
     for c in range(C):
         dets = []
@@ -486,8 +463,8 @@ def detect_types(x, bank, lens, specs, fm_gain_hz=None, max_det=1,
             ipk = int(ipk_a[c, k])
             val = float(val_a[c, k])
             if abs(val) >= spec.thres:
-                herrs = _headcmp(chan(c), spec, ipk, fs, val < 0,
-                                 float(dc_a[c, k]))
+                herrs = _headcmp(np.asarray(chan(c)), spec, ipk, fs,
+                                 val < 0, float(dc_a[c, k]))
                 if herrs > spec.herrs:
                     continue
                 off = 0.0
@@ -516,4 +493,45 @@ def detect_types(x, bank, lens, specs, fm_gain_hz=None, max_det=1,
                     inverted=val < 0, freq_offset=off))
         dets.sort(key=lambda d: d.score, reverse=True)
         out.append(dets[:max_det] if max_det else dets)
+    return out
+
+
+def detect_types(x, bank, lens, specs, fm_gain_hz=None, max_det=1,
+                 fs=48000, wideband=False):
+    """Detect sonde types in FM stream(s).
+
+    x: [T] or [C, T] float32 FM discriminator output (≈ normalized
+    instantaneous frequency).  Returns per channel a list of Detection
+    sorted by score (reference emits the best type, dft_detect.c:1612-1666).
+    Candidates are confirmed by re-reading the header bits at the detected
+    position and bounding the bit errors (reference headcmp + herrs,
+    dft_detect.c:866-901,1509-1524).
+    ``fm_gain_hz``: scale from FM units to Hz for the frequency-offset
+    estimate (reference df = dc/(2*FM_GAIN*decM), :438-442).
+    """
+    single = np.ndim(x) == 1
+    xj = jnp.asarray(x)
+    if not jnp.issubdtype(xj.dtype, jnp.floating):
+        xj = xj.astype(jnp.float32)
+    if xj.ndim == 1:
+        xj = xj[None, :]
+    val_a, ipk_a, dc_a, xm = _correlate_peaks(
+        xj, jnp.asarray(bank).astype(xj.dtype),
+        tuple(int(v) for v in lens))
+    # only [C, K] peak stats cross to the host; the FM streams stay on
+    # device and are fetched lazily per channel, only when a candidate
+    # clears its threshold (rare: most scan channels are noise)
+    val_a, ipk_a, dc_a, xm = (np.asarray(v) for v in
+                              (val_a, ipk_a, dc_a, xm))
+    _cache = {}
+
+    def chan(c):
+        if c not in _cache:
+            # host re-read path: always fetch f32 (streams may be bf16)
+            _cache[c] = np.asarray(xj[c].astype(jnp.float32))
+        return _cache[c]
+
+    out = decide_from_peaks(val_a, ipk_a, dc_a, xm, specs, lens, chan,
+                            fm_gain_hz=fm_gain_hz, max_det=max_det,
+                            fs=fs, wideband=wideband)
     return out[0] if single else out

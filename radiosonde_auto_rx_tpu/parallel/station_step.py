@@ -93,7 +93,7 @@ class ShardedStationStep:
 
     def __init__(self, mesh, n_chan: int = 50, fs_ch: int = 48000,
                  capacity: int = 4, nfft: int = 2048,
-                 frame_halo: int = 26400):
+                 frame_halo: int = 26400, conf_capacity: int = 2):
         from radiosonde_auto_rx_tpu.station.station import (CHAIN_TABLE,
                                                             _demod_cfg)
         self.mesh = mesh
@@ -111,6 +111,11 @@ class ShardedStationStep:
         self.taps = jnp.asarray(pfb_prototype(self.n_chan))
         self.pfb_p = int(self.taps.shape[0]) // self.n_chan
         self.prescreen = Prescreen(self.fs_ch, TEMPLATES, LPIQ_BW, LPFM_BW)
+        # full-rate confirmation machinery (classes/banks/conditioning);
+        # its own prescreen is disabled — analyze() already screens
+        self.conf_cap = int(conf_capacity)
+        from radiosonde_auto_rx_tpu.detect.scanner import SondeDetector
+        self.detector = SondeDetector(self.fs_ch, prescreen=False)
         # template index (prescreen.spec_order) -> expert index or -1
         self.template_expert = np.array(
             [EXPERT_TYPES.index(TEMPLATE_TO_EXPERT[s.name])
@@ -242,6 +247,114 @@ class ShardedStationStep:
 
     # ------------------------------------------------------------------ #
 
+    @property
+    def n_conf_slots(self) -> int:
+        return self.n_sh * self.conf_cap
+
+    @partial(jax.jit, static_argnames=("self",))
+    def confirm(self, channels, slot_cids):
+        """Full-rate confirmation pass on candidate channels, sharded.
+
+        The prescreen ratios from ``analyze`` are approximate half-rate
+        scores; type decisions need the exact 4-stream full-rate pass
+        with header re-read and M10/M20 / iMet disambiguation (reference
+        scan/dft_detect.c:866-965,1542-1607).  This runs that pass under
+        the mesh: each candidate's full channel stream is assembled with
+        one psum over ``ch`` + all_gather over ``t`` (a few slots ×
+        stream length — trivial bytes), then each ch-shard conditions
+        and correlates its ``conf_cap`` slots, so the expensive stage
+        splits n_sh ways exactly like the host two-phase detector's
+        survivor batch.
+
+        channels: [C, 2, Tc] (ch, -, t); slot_cids: [n_conf_slots] int32
+        GLOBAL channel ids (-1 pad), replicated.  Returns dict with
+        per-class peak stats (val/ipk/dc/xm, each [n_slots, K_cls]) and
+        the conditioned FM streams [n_classes, n_slots, T] for the host
+        decision loop (``decide_confirmed``).
+        """
+        det = self.detector
+        n_sh, cap = self.n_sh, self.conf_cap
+        S = n_sh * cap
+        classes = [(bank, tuple(int(v) for v in lens))
+                   for _, _, _, bank, lens in det.classes]
+
+        def body(xl, sc):
+            from radiosonde_auto_rx_tpu.detect.correlator import \
+                _correlate_peaks
+            C_l, _, T_l = xl.shape
+            me = jax.lax.axis_index(CH_AXIS)
+            own = (sc // C_l) == me                       # [S]
+            rows = jnp.where(own, sc % C_l, 0)
+            sel = jnp.where(own[:, None, None], xl[rows], 0.0)
+            sel = jax.lax.psum(sel, CH_AXIS)              # [S, 2, T_l]
+            full = jax.lax.all_gather(sel, T_AXIS, axis=2, tiled=True)
+            mine = jax.lax.dynamic_slice_in_dim(full, me * cap, cap, 0)
+            # same DC block as SondeDetector.detect's entry
+            mine = mine - jnp.mean(mine, axis=-1, keepdims=True) * 0.98
+            streams = det._condition(mine)                # per class [cap,T]
+            peaks = []
+            for fm, (bank, lens_t) in zip(streams, classes):
+                val, ipk, dc, xm = _correlate_peaks(
+                    fm, bank.astype(fm.dtype), lens_t)
+                peaks.append((val, ipk, dc, xm))
+            st = jnp.stack([s.astype(jnp.float32) for s in streams])
+            flat = tuple(v for p in peaks for v in p)
+            # every t-shard computed identical values from the gathered
+            # full streams; the rep checker cannot infer that from
+            # all_gather, so establish t-replication explicitly (pmax of
+            # equal values — a few slots' worth of traffic)
+            return tuple(jax.lax.pmax(v, T_AXIS) for v in (st,) + flat)
+
+        n_cls = len(det.classes)
+        # per class: val/ipk/dc are [cap, K]; xm is [cap]
+        out_specs = ((P(None, CH_AXIS, None),) +
+                     (P(CH_AXIS, None), P(CH_AXIS, None),
+                      P(CH_AXIS, None), P(CH_AXIS)) * n_cls)
+        res = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(CH_AXIS, None, T_AXIS), P()),
+            out_specs=out_specs,
+        )(channels, slot_cids)
+        streams = res[0]
+        peaks = [tuple(res[1 + 4 * i + j] for j in range(4))
+                 for i in range(n_cls)]
+        return dict(streams=streams, peaks=peaks)
+
+    def decide_confirmed(self, conf, slot_cids, max_det: int = 1):
+        """Host decision loop over ``confirm`` outputs: identical logic
+        (threshold, headcmp, M10/M20 + iMet disambiguation, score sort)
+        to the single-device ``SondeDetector._detect_full``.
+
+        Returns {global channel id: [Detection, ...]} for real slots."""
+        from radiosonde_auto_rx_tpu.detect.correlator import \
+            decide_from_peaks
+        from radiosonde_auto_rx_tpu.ops.fm import FM_GAIN
+        det = self.detector
+        slot_cids = np.asarray(slot_cids)
+        S = self.n_conf_slots
+        merged = [[] for _ in range(S)]
+        streams = conf["streams"]
+        for ci, ((_, _, cls_specs, _, lens), pk) in enumerate(
+                zip(det.classes, conf["peaks"])):
+            val, ipk, dc, xm = (np.asarray(v) for v in pk)
+            dets = decide_from_peaks(
+                val, ipk, dc, xm, cls_specs, np.asarray(lens),
+                chan=lambda c, ci=ci: np.asarray(streams[ci, c]),
+                fm_gain_hz=self.fs_ch / (2.0 * FM_GAIN), max_det=0,
+                fs=self.fs_ch, wideband=self.fs_ch > 50000)
+            for s in range(S):
+                merged[s].extend(dets[s])
+        out = {}
+        for s in range(S):
+            cid = int(slot_cids[s])
+            if cid < 0:
+                continue
+            merged[s].sort(key=lambda d: d.score, reverse=True)
+            out[cid] = merged[s][:max_det] if max_det else merged[s]
+        return out
+
+    # ------------------------------------------------------------------ #
+
     @partial(jax.jit, static_argnames=("self",))
     def route_demod(self, channels, expert_ids):
         """All-to-all expert routing + per-type demod, sharded (ch, t).
@@ -361,3 +474,15 @@ class ShardedStationStep:
         concatenate ``n_t`` t-shards of padded slices; each shard's
         valid prefix is ``_bits_len(t_total // n_t)``)."""
         return self._bits_len(t_total // self.n_t)
+
+    def slot_bits(self, res, expert: int, slot: int, t_total: int):
+        """Host helper: assemble one routed slot's (bits, soft) from a
+        ``route_demod`` result by concatenating each t-shard's valid
+        prefix.  bits return as uint8, soft as float32."""
+        blen, _ = self.bits_lens(t_total)[expert]
+        bits = np.asarray(res["bits"][expert, slot])
+        soft = np.asarray(res["soft"][expert, slot])
+        seg = bits.shape[0] // self.n_t
+        take = np.concatenate([np.arange(k * seg, k * seg + blen)
+                               for k in range(self.n_t)])
+        return bits[take].astype(np.uint8), soft[take].astype(np.float32)
