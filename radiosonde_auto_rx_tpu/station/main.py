@@ -410,6 +410,28 @@ def run_station(args, config) -> int:
                 dets[0]) if dets else [])
         return station.process_capture(block)
 
+    def _process_batch(batch):
+        """One cycle's blocks (center, block) from every live source —
+        a single sharded device program on a multi-chip mesh
+        (Station.process_captures), sequential otherwise."""
+        if forced_chan is not None:
+            out = []
+            for c, b in batch:
+                station.center_freq = c
+                out.extend(_process(b))
+            return out
+        return station.process_captures([b for _, b in batch],
+                                        [c for c, _ in batch])
+
+    # blocks drained per source per cycle: with a mesh, read enough
+    # consecutive blocks to fill the ch shards (micro-batching trades
+    # one cycle of latency for full-mesh occupancy; sources >= shards
+    # need no micro-batch)
+    mb = 1
+    if station.mesh is not None and forced_chan is None:
+        mb = int(config.get("mesh_microbatch", 0)) or \
+            max(1, station.mesh.shape["ch"] // n_src)
+
     try:
         n_blocks = 0
         retries = [0] * n_src
@@ -418,10 +440,13 @@ def run_station(args, config) -> int:
         while not stop["flag"] and not (deadline and
                                         time.time() > deadline):
             # every source captures CONCURRENTLY (its own subprocess +
-            # prefetch thread); this loop drains one block from each in
-            # turn, so no source ever loses samples while another's
-            # block is on the device
+            # prefetch thread); this loop drains ``mb`` block(s) from
+            # each in turn, so no source ever loses samples while
+            # another's block is on the device, then processes the
+            # whole cycle's batch in one call (one sharded device
+            # program on a multi-chip mesh)
             progressed = False
+            batch = []
             for i in range(n_src):
                 if stop["flag"] or sources[i] is None:
                     continue
@@ -431,7 +456,20 @@ def run_station(args, config) -> int:
                         list(station.manual_tasks)
                     seg = sched.next_center(tasked, station.scan_enabled)
                     sources[i].retune(seg.center_hz)
+                got_i = 0
                 block_center, block = sources[i].read_block()
+                for _ in range(mb - 1):
+                    if block is None:
+                        break
+                    batch.append((block_center, block))
+                    got_i += 1
+                    block_center, block = sources[i].read_block()
+                if block is None and got_i:
+                    # EOF mid-micro-batch: process what we have; the
+                    # next cycle takes the EOF/retry path
+                    progressed = True
+                    retries[i] = 0
+                    continue
                 if block is None:
                     # source ended: replay EOF is a clean stop; a live
                     # SDR gets reset + reopened up to max_retries
@@ -473,17 +511,18 @@ def run_station(args, config) -> int:
                     continue
                 progressed = True
                 retries[i] = 0
-                station.center_freq = block_center
-                telems = _process(block)
-                n_blocks += 1
+                batch.append((block_center, block))
+            if batch:
+                telems = _process_batch(batch)
+                n_blocks += len(batch)
                 station.clean_task_list()
                 if args.checkpoint:
                     from radiosonde_auto_rx_tpu.station.checkpoint import \
                         save_station_state
                     save_station_state(station, args.checkpoint)
                 if telems:
-                    log.info("block %d (src %d): %d telemetry frames",
-                             n_blocks, i + 1, len(telems))
+                    log.info("blocks %d (+%d): %d telemetry frames",
+                             n_blocks, len(batch), len(telems))
             if all(ended) or (not progressed and
                               all(s is None for s in sources)):
                 break

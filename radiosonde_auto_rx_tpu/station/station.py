@@ -129,7 +129,7 @@ class Station:
     absolute frequency so decoders survive retunes."""
 
     def __init__(self, config: dict | None = None, exporters=None,
-                 center_freq_hz: float = 402.5e6):
+                 center_freq_hz: float = 402.5e6, mesh=None):
         self.config = {**default_config(), **(config or {})}
         self.exporters = exporters or []
         self.center_freq = center_freq_hz
@@ -137,6 +137,20 @@ class Station:
         self.n_chan = int(self.config["num_channels"])
         self._narrow = _BandProfile(self.n_chan, self.fs_wide)
         self._wide = None            # built lazily for >1 GHz captures
+        # multi-chip: build a (ch, t) mesh and run the full sharded
+        # station step (parallel/station_step.py) as the per-block
+        # device program via ``process_captures``.  Default n_t=1: at
+        # production block lengths a time shard cannot hold the demod
+        # halo (nmem + frame margin ~= 0.8 s); ``mesh_time_shards``
+        # only pays on multi-second blocks.
+        import jax
+        if mesh is None and len(jax.devices()) > 1 and \
+                bool(self.config.get("use_mesh", True)):
+            from radiosonde_auto_rx_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(
+                n_t=int(self.config.get("mesh_time_shards", 1)))
+        self.mesh = mesh
+        self._sharded_steps = {}     # (n_chan, fs_ch) -> ShardedStationStep
         self.rt_filter = RealtimeVelocityFilter(self.config["max_velocity"])
         # parallel host frame plane: decoder worker pool (0 = inline,
         # -1 = auto-size; workers spawn lazily on first decode).
@@ -233,46 +247,60 @@ class Station:
         semantics from scan.py:1034-1097).  Configured frequencies outside
         the current capture span are skipped — the band scheduler brings
         their segment around."""
+        if self.config["only_scan"]:
+            return self.scan_from_psd(None)
+        planes = self._wide_planes(wideband_iq)
+        # sparse Welch (one 2048-segment per 8192 samples): a block
+        # still integrates hundreds of segments, so floor/peaks are
+        # unchanged within noise (tests/test_ops.py) at 1/4 the
+        # input traffic — the reference integrates its PSD over
+        # ~20 s of rtl_power dwell for the same reason in reverse
+        # (reference autorx/scan.py:948-1009)
+        pfreqs, psd = power_spectrum(planes[None], nfft=2048, hop=8192,
+                                     fs=self.fs_wide)
+        return self.scan_from_psd(psd[0], db=True)
+
+    def scan_from_psd(self, psd, db: bool = False) -> list:
+        """Candidate channels from a precomputed wideband PSD (raw
+        ``_welch`` power, or dB with ``db=True``).  The sharded station
+        path feeds ``ShardedStationStep.analyze``'s per-capture PSD rows
+        here so the scan policy is computed exactly once per block."""
         prof = self.profile()
         if self.config["only_scan"]:
             # whitelist mode: skip the PSD pass entirely
             chans = [self.channel_of_freq(f * 1e6)
                      for f in self.config["only_scan"]
                      if self.in_capture(f * 1e6)]
-        else:
-            planes = self._wide_planes(wideband_iq)
-            # sparse Welch (one 2048-segment per 8192 samples): a block
-            # still integrates hundreds of segments, so floor/peaks are
-            # unchanged within noise (tests/test_ops.py) at 1/4 the
-            # input traffic — the reference integrates its PSD over
-            # ~20 s of rtl_power dwell for the same reason in reverse
-            # (reference autorx/scan.py:948-1009)
-            pfreqs, psd = power_spectrum(planes[None], nfft=2048, hop=8192,
-                                         fs=self.fs_wide)
-            psd = psd[0]
-            peaks, nf = scan_peaks(
-                psd, pfreqs,
-                snr_threshold=self.config["snr_threshold"],
-                min_distance_hz=self.config["min_distance"],
-                quantization_hz=self.fs_wide / prof.n_chan,
-                never_scan=[f * 1e6 - self.center_freq
-                            for f in self.config["never_scan"]])
-            # latest scan for the web UI (reference scan.py:47-54
-            # pushes freq/power/peaks to the browser)
-            self.scan_results = {
-                "timestamp": time.time(),
-                "freq": ((pfreqs + self.center_freq) / 1e6).round(4
-                                                                 ).tolist(),
-                "power": np.round(psd, 1).tolist(),
-                "peak_freq": [(p + self.center_freq) / 1e6 for p in peaks],
-                "noise_floor": round(nf, 1),
-            }
-            chans = sorted({int(np.argmin(np.abs(prof.freqs - p)))
-                            for p in peaks})
-            # always_scan frequencies join every detect pass
-            for f_mhz in self.config["always_scan"]:
-                if self.in_capture(f_mhz * 1e6):
-                    chans.append(self.channel_of_freq(f_mhz * 1e6))
+            return self._scan_tail(chans)
+        psd = np.asarray(psd)
+        psd_db = psd if db else 10.0 * np.log10(np.maximum(psd, 1e-20))
+        nfft = psd_db.shape[-1]
+        pfreqs = (np.arange(nfft) - nfft // 2) * (self.fs_wide / nfft)
+        peaks, nf = scan_peaks(
+            psd_db, pfreqs,
+            snr_threshold=self.config["snr_threshold"],
+            min_distance_hz=self.config["min_distance"],
+            quantization_hz=self.fs_wide / prof.n_chan,
+            never_scan=[f * 1e6 - self.center_freq
+                        for f in self.config["never_scan"]])
+        # latest scan for the web UI (reference scan.py:47-54
+        # pushes freq/power/peaks to the browser)
+        self.scan_results = {
+            "timestamp": time.time(),
+            "freq": ((pfreqs + self.center_freq) / 1e6).round(4).tolist(),
+            "power": np.round(psd_db, 1).tolist(),
+            "peak_freq": [(p + self.center_freq) / 1e6 for p in peaks],
+            "noise_floor": round(nf, 1),
+        }
+        chans = sorted({int(np.argmin(np.abs(prof.freqs - p)))
+                        for p in peaks})
+        # always_scan frequencies join every detect pass
+        for f_mhz in self.config["always_scan"]:
+            if self.in_capture(f_mhz * 1e6):
+                chans.append(self.channel_of_freq(f_mhz * 1e6))
+        return self._scan_tail(chans)
+
+    def _scan_tail(self, chans: list) -> list:
         for f_mhz in self.config["always_decode"]:
             if self.in_capture(f_mhz * 1e6):
                 chans.append(self.channel_of_freq(f_mhz * 1e6))
@@ -331,6 +359,171 @@ class Station:
                 tasks, prof.n_chan).items():
             telemetry_out.extend(self.decode_channels(ch, items, name))
         return telemetry_out
+
+    # ------------------------------------------------------------------ #
+    # multi-chip production path: the sharded station step
+
+    def _sharded_step(self, prof):
+        """Build/cache the mesh program for this channel geometry."""
+        key = (prof.n_chan, prof.fs_ch)
+        st = self._sharded_steps.get(key)
+        if st is None:
+            from radiosonde_auto_rx_tpu.parallel.station_step import \
+                ShardedStationStep
+            st = ShardedStationStep(
+                self.mesh, n_chan=prof.n_chan, fs_ch=prof.fs_ch,
+                capacity=int(self.config.get("expert_capacity", 4)),
+                conf_capacity=int(self.config.get("confirm_capacity", 2)))
+            self._sharded_steps[key] = st
+        return st
+
+    def process_captures(self, blocks, centers=None) -> list:
+        """Multi-block cycle: B wideband blocks through ONE sharded
+        device program when a mesh is configured.
+
+        This is the production multi-chip path (round-3 verdict #1): the
+        reference runs all SDR tasks concurrently as subprocesses
+        (reference auto_rx/auto_rx.py:101-128); here each source's block
+        becomes one row of the batched ``ShardedStationStep`` dataflow —
+        channelize → PSD → prescreen ratios on the mesh, scan policy +
+        full-rate confirmation for type decisions, expert all-to-all
+        routing + per-type demod on the mesh, frame decode on the host.
+        Telemetry equals the per-block single-device ``process_capture``
+        (tests/test_station_sharded.py).  Falls back to the sequential
+        path without a mesh or for wideband (L-band) captures."""
+        if centers is None:
+            centers = [self.center_freq] * len(blocks)
+        centers = [float(c) for c in centers]
+        if self.mesh is None or any(
+                self.profile(c).wide for c in centers):
+            out = []
+            for b, c in zip(blocks, centers):
+                out.extend(self.process_capture(b, center_freq_hz=c))
+            return out
+        return self._process_captures_sharded(blocks, centers)
+
+    def _process_captures_sharded(self, blocks, centers) -> list:
+        from radiosonde_auto_rx_tpu.detect.prescreen import MARGIN
+        from radiosonde_auto_rx_tpu.parallel.station_step import \
+            EXPERT_TYPES
+        prof = self.profile(centers[0])
+        step = self._sharded_step(prof)
+        n_chan = prof.n_chan
+        B = len(blocks)
+        B_pad = -(-B // step.n_sh) * step.n_sh
+        planes = [self._wide_planes(b) for b in blocks]
+        T = int(planes[0].shape[-1])
+        assert all(int(p.shape[-1]) == T for p in planes), \
+            "sharded batch blocks must share a length"
+        wide = jnp.stack(list(planes) +
+                         [jnp.zeros_like(planes[0])] * (B_pad - B))
+        chf, psd, ratios = step.analyze(wide)
+        psd_np = np.asarray(psd)
+        ratios_np = np.asarray(ratios)
+
+        # host policy per block: scan peaks + task state -> candidates
+        # (prescreen-margin survivors) and forced tasks (manual/active)
+        tasks = {}                   # global cid -> (name, det)
+        cand = []
+        for b in range(B):
+            self.center_freq = centers[b]
+            chans = self.scan_from_psd(psd_np[b]) if self.scan_enabled \
+                else []
+            forced = {}
+            for fz, name in self.manual_tasks.items():
+                if self.in_capture(fz):
+                    forced[self.channel_of_freq(fz)] = name
+            for fz, st_a in self.active.items():
+                if self.in_capture(fz):
+                    forced.setdefault(self.channel_of_freq(fz),
+                                      st_a["type"])
+            for ci, name in forced.items():
+                tasks[b * n_chan + ci] = (name, None)
+            for ci in chans:
+                cid = b * n_chan + ci
+                if cid not in tasks and ratios_np[cid].max() >= MARGIN:
+                    cand.append(cid)
+
+        # full-rate confirmation under the mesh: exact type decisions
+        # (headcmp, M10/M20 + iMet disambiguation) identical to the
+        # single-device two-phase detector
+        S = step.n_conf_slots
+        if len(cand) > S:
+            order = np.argsort([ratios_np[c].max() for c in cand])[::-1]
+            log.warning("confirmation slots full: deferring %d of %d "
+                        "candidates to the next block",
+                        len(cand) - S, len(cand))
+            cand = [cand[i] for i in order[:S]]
+        if cand:
+            slots = np.full(S, -1, np.int32)
+            slots[:len(cand)] = cand
+            conf = step.confirm(chf, jnp.asarray(slots))
+            for cid, dets in step.decide_confirmed(conf, slots).items():
+                if not dets:
+                    continue
+                det = dets[0]
+                self.stats["detections"] += 1
+                if det.name in CHAIN_TABLE or det.name in MODEL_NAME:
+                    tasks[cid] = (det.name, det)
+
+        # expert routing over the mesh; non-expert types host-batched
+        exp_ids = np.full(B_pad * n_chan, -1, np.int32)
+        host_tasks = {}              # block -> [(ci, name, det)]
+        for cid, (name, det) in tasks.items():
+            if name in EXPERT_TYPES:
+                exp_ids[cid] = EXPERT_TYPES.index(name)
+            else:
+                b, ci = divmod(cid, n_chan)
+                host_tasks.setdefault(b, []).append((ci, name, det))
+        telems = []
+        if (exp_ids >= 0).any():
+            res = step.route_demod(chf, jnp.asarray(exp_ids))
+            telems.extend(self._decode_routed(step, res, tasks, centers,
+                                              n_chan, int(chf.shape[-1])))
+        for b, items in host_tasks.items():
+            self.center_freq = centers[b]
+            rows = chf[b * n_chan:(b + 1) * n_chan]
+            for name, grp in self.group_tasks_by_type(
+                    items, n_chan).items():
+                telems.extend(self.decode_channels(rows, grp, name))
+        self.center_freq = centers[-1]
+        return telems
+
+    def _decode_routed(self, step, res, tasks, centers, n_chan,
+                       t_total) -> list:
+        """Host frame plane over ``route_demod`` outputs: slice each
+        routed slot's valid bits/soft, apply the per-chain host tail
+        (AFSK bit inversion), decode task-keyed by frequency."""
+        from radiosonde_auto_rx_tpu.parallel.station_step import \
+            EXPERT_TYPES
+        ids = np.asarray(res["ids"])
+        mask = np.asarray(res["mask"])
+        ebno = np.asarray(res["ebno"])
+        dropped = int(np.asarray(res["dropped"]).sum())
+        if dropped:
+            # capacity overflow: same loss mode as the reference when
+            # detections exceed available SDRs (auto_rx handle_scan_results)
+            log.warning("expert routing dropped %d channel(s) — raise "
+                        "expert_capacity", dropped)
+        out = []
+        for e, name in enumerate(EXPERT_TYPES):
+            afsk = bool(CHAIN_TABLE[name].get("afsk"))
+            for s in np.flatnonzero(mask[e]):
+                cid = int(ids[e, s])
+                b, ci = divmod(cid, n_chan)
+                self.center_freq = centers[b]
+                fz = self.freq_of_channel(ci)
+                det = tasks.get(cid, (None, None))[1]
+                bits, soft = step.slot_bits(res, e, int(s), t_total)
+                if afsk:
+                    bits, soft = 1 - bits, None
+                try:
+                    out.extend(self._decode_frames(
+                        fz, name, bits, soft, float(ebno[e, s]), det))
+                except Exception:
+                    log.exception("decode failed on %.3f MHz (%s)",
+                                  fz / 1e6, name)
+        return out
 
     @staticmethod
     def group_tasks_by_type(tasks, n_chan: int) -> dict:
