@@ -206,6 +206,109 @@ def bench_station_step(on_tpu, duty=0.2, cap=16):
     return msps, mfu, hbm, hbm_meas
 
 
+def bench_ablate(on_tpu, duty=0.2, cap=16):
+    """Per-stage ablation of the station step at bench geometry:
+    isolates channelize / PSD / prescreen / full-detect / demod with
+    jitted single-stage programs (pipelined reps, best of 3) and prints
+    a markdown table with per-stage ms, bytes and flops from XLA's cost
+    analysis.  Evidence trail for the round's perf work."""
+    from radiosonde_auto_rx_tpu.demod.fsk import (fsk_init_state,
+                                                  fsk_num_blocks_buffered,
+                                                  _fsk_demod_scan_buffered)
+    from radiosonde_auto_rx_tpu.detect.correlator import _correlate_peaks
+    from radiosonde_auto_rx_tpu.detect.psd import _welch
+    from radiosonde_auto_rx_tpu.detect.scanner import SondeDetector
+    from radiosonde_auto_rx_tpu.ops.channelizer import (_channelize,
+                                                        pfb_prototype)
+
+    n_chan = 50
+    B = 10 if on_tpu else 1
+    t_wide = 2_400_000 if on_tpu else 480_000
+    reps = 10 if on_tpu else 2
+    cfg = _cfg()
+    taps = jnp.asarray(pfb_prototype(n_chan))
+    det = SondeDetector(48000)
+    n_det = max(1, int(B * n_chan * duty))
+    cap = min(cap, n_det)
+    t_ch = t_wide // n_chan
+    nb = fsk_num_blocks_buffered(cfg, t_ch)
+    classes = [(bank, tuple(int(v) for v in lens))
+               for _, _, _, bank, lens in det.classes]
+
+    key = jax.random.key(1)
+    wide = jax.random.normal(key, (B, 2, t_wide), jnp.float32)
+    wide.block_until_ready()
+
+    def s_channelize(w):
+        ch = jax.vmap(lambda x: _channelize(x, taps, n_chan))(w)
+        return ch.reshape(B * n_chan, 2, -1)
+
+    chf = jax.jit(s_channelize)(wide)
+    chf.block_until_ready()
+
+    def s_psd(w):
+        return _welch(w, 2048, hop=8192).sum()
+
+    def s_prescreen(c):
+        return det.prescreen.scores(c[:n_det]).sum()
+
+    def s_fulldetect(c):
+        ratio = det.prescreen.scores(c[:n_det])
+        _, idx = jax.lax.top_k(ratio, cap)
+        streams = det._condition(c[idx])
+        acc = jnp.float32(0)
+        for fm, (bank, lens_t) in zip(streams, classes):
+            val, ipk, dcpk, xm = _correlate_peaks(
+                fm, bank.astype(fm.dtype), lens_t)
+            acc = acc + val.max() + xm.sum()
+        return acc
+
+    def s_demod(c):
+        state = fsk_init_state(cfg, B * n_chan)
+        _, outs = _fsk_demod_scan_buffered(cfg, c, state, nb)
+        return (outs["bits"][:, :n_det].astype(jnp.int32).sum(),
+                outs["soft"][:, :, ::257].sum())
+
+    stages = [("channelize", s_channelize, wide),
+              ("psd_scan", s_psd, wide),
+              ("prescreen", s_prescreen, chf),
+              ("full_detect_top%d" % cap, s_fulldetect, chf),
+              ("fsk_demod", s_demod, chf)]
+    total_ms = 0.0
+    rows = []
+    for name, fn, arg in stages:
+        j = jax.jit(fn)
+        out = j(arg)
+        jax.block_until_ready(out)
+        dt = 1e30
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [j(arg) for _ in range(reps)]
+            jax.block_until_ready(outs[-1])
+            dt = min(dt, (time.perf_counter() - t0) / reps)
+        flops = nbytes = 0.0
+        try:
+            ca = j.lower(arg).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            nbytes = float(ca.get("bytes accessed", 0.0))
+        except Exception:
+            pass
+        total_ms += dt * 1e3
+        rows.append((name, dt * 1e3, nbytes / 1e6, flops / 1e9,
+                     nbytes / dt / 1e9))
+    print("| stage | ms/step | MB accessed | GFLOP | GB/s |")
+    print("|---|---|---|---|---|")
+    for name, ms, mb, gf, gbs in rows:
+        print(f"| {name} | {ms:.2f} | {mb:.0f} | {gf:.1f} | {gbs:.0f} |")
+    print(f"| SUM (isolated) | {total_ms:.2f} | | | |")
+    print(f"\ngeometry: B={B} x {t_wide / 1e6:.1f} Ms wide, {n_chan} ch, "
+          f"duty={duty}, full-pass cap={cap}, reps={reps}")
+    print(f"wide Msps if fused step == sum: "
+          f"{B * t_wide / total_ms / 1e3:.0f}")
+
+
 _SCALING_CHILD = r"""
 import json, os, sys, time
 os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
@@ -307,6 +410,9 @@ def _devices_or_die(timeout_s=300):
 def main():
     if "--scaling" in sys.argv:
         bench_scaling()
+        return
+    if "--ablate" in sys.argv:
+        bench_ablate(_devices_or_die()[0].platform == "tpu")
         return
     on_tpu = _devices_or_die()[0].platform == "tpu"
     msps = bench_demod(on_tpu)

@@ -236,9 +236,17 @@ class ShardedStationStep:
         """Host policy: per-channel expert id from template ratios.
 
         ratios: [C, K] (host numpy).  Returns (expert_ids [C] int32 with
-        -1 = no expert, best_template [C] int32).  The station layers its
-        task state (blocks, manual tasks, active decoders) on top.
-        """
+        -1 = no expert, best_template [C] int32).
+
+        APPROXIMATE fallback only: the ratios are half-rate prescreen
+        scores, so near ``margin`` a channel can clear the threshold yet
+        fail the exact full-rate pass (or the reverse), and lookalikes
+        (M20-vs-M10, iMet subtypes, M20 idle firing the WXR template)
+        are undisambiguated.  The production station instead routes the
+        decisions of ``confirm``+``decide_confirmed`` (station/station.py
+        _process_captures_sharded), which equal the single-device
+        two-phase detector; tests/test_station_step.py demonstrates a
+        channel this threshold-only policy would misroute."""
         r = np.asarray(ratios)
         best = r.argmax(axis=1)
         ok = r.max(axis=1) >= margin
@@ -400,8 +408,11 @@ class ShardedStationStep:
                 def branch(eidx):
                     if eidx >= n_exp:       # mesh-divisibility pad slot
                         def run_pad(xe):
-                            z = jnp.zeros((S_tot, out_max), jnp.float32)
-                            return z, z, jnp.zeros((S_tot,), jnp.float32)
+                            # zeros derived from the (varying) input so
+                            # the switch branches' output types match
+                            z = jnp.zeros((S_tot, out_max), jnp.float32) \
+                                + 0.0 * xe[:, 0, :1]
+                            return z, z, 0.0 * xe[:, 0, 0]
                         return run_pad
                     cfg = cfgs[eidx]
                     blen, nb = lens[eidx]
@@ -409,8 +420,9 @@ class ShardedStationStep:
 
                     def run(xe):
                         if nb == 0:
-                            z = jnp.zeros((S_tot, out_max), jnp.float32)
-                            return z, z, jnp.zeros((S_tot,), jnp.float32)
+                            z = jnp.zeros((S_tot, out_max), jnp.float32) \
+                                + 0.0 * xe[:, 0, :1]
+                            return z, z, 0.0 * xe[:, 0, 0]
                         if rs_to:
                             # static periodic-block matmul resampler
                             # (the tsrc analogue, ops/resample.py)

@@ -2,8 +2,11 @@
 
 The key set mirrors the reference's ~120-key defaults dict
 (reference auto_rx/autorx/config.py:52-186) so existing ``station.cfg``
-files parse; SDR-subprocess keys are accepted but unused (the sample
-source here is a wideband IQ stream into the channelizer).
+files parse.  The SDR keys drive real capture subprocesses:
+``sdr_quantity`` + per-source ``[sdr_N]`` sections spawn N concurrent
+``BlockSource`` captures pinned to band-plan partitions
+(station/main.py run_station), each feeding wideband IQ into the
+channelizer.
 """
 
 import configparser

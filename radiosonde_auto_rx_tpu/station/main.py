@@ -410,18 +410,23 @@ def run_station(args, config) -> int:
                 dets[0]) if dets else [])
         return station.process_capture(block)
 
-    def _process_batch(batch):
-        """One cycle's blocks (center, block) from every live source —
-        a single sharded device program on a multi-chip mesh
-        (Station.process_captures), sequential otherwise."""
+    def _dispatch_batch(batch):
+        """Enqueue one cycle's blocks (center, block): the sharded
+        device program's analysis starts now, its results are fetched a
+        cycle later (double-buffering, Station.captures_dispatch)."""
         if forced_chan is not None:
+            return ("forced", batch)
+        return station.captures_dispatch([b for _, b in batch],
+                                         [c for c, _ in batch])
+
+    def _collect_batch(pending):
+        if pending[0] == "forced":
             out = []
-            for c, b in batch:
+            for c, b in pending[1]:
                 station.center_freq = c
                 out.extend(_process(b))
             return out
-        return station.process_captures([b for _, b in batch],
-                                        [c for c, _ in batch])
+        return station.captures_collect(pending)
 
     # blocks drained per source per cycle: with a mesh, read enough
     # consecutive blocks to fill the ch shards (micro-batching trades
@@ -437,6 +442,7 @@ def run_station(args, config) -> int:
         retries = [0] * n_src
         sources = [_open_source(i) for i in range(n_src)]
         ended = [False] * n_src          # replay/EOF sources done
+        pending = None                   # in-flight (dispatched batch, n)
         while not stop["flag"] and not (deadline and
                                         time.time() > deadline):
             # every source captures CONCURRENTLY (its own subprocess +
@@ -512,9 +518,15 @@ def run_station(args, config) -> int:
                 progressed = True
                 retries[i] = 0
                 batch.append((block_center, block))
+            # double-buffer: enqueue this cycle's device analysis FIRST,
+            # then finish the previous cycle's batch — its host policy /
+            # frame decode overlaps the device working on the new blocks
+            new_pending = None
             if batch:
-                telems = _process_batch(batch)
-                n_blocks += len(batch)
+                new_pending = (_dispatch_batch(batch), len(batch))
+            if pending is not None:
+                telems = _collect_batch(pending[0])
+                n_blocks += pending[1]
                 station.clean_task_list()
                 if args.checkpoint:
                     from radiosonde_auto_rx_tpu.station.checkpoint import \
@@ -522,10 +534,14 @@ def run_station(args, config) -> int:
                     save_station_state(station, args.checkpoint)
                 if telems:
                     log.info("blocks %d (+%d): %d telemetry frames",
-                             n_blocks, len(batch), len(telems))
-            if all(ended) or (not progressed and
-                              all(s is None for s in sources)):
+                             n_blocks, pending[1], len(telems))
+            pending = new_pending
+            if pending is None and (all(ended) or (
+                    not progressed and all(s is None for s in sources))):
                 break
+        if pending is not None:          # deadline/SIGINT mid-flight
+            telems = _collect_batch(pending[0])
+            n_blocks += pending[1]
         log.info("stopped after %d blocks; stats=%s", n_blocks,
                  station.stats)
     except FileNotFoundError as e:

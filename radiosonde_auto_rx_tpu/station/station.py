@@ -137,15 +137,15 @@ class Station:
         self.n_chan = int(self.config["num_channels"])
         self._narrow = _BandProfile(self.n_chan, self.fs_wide)
         self._wide = None            # built lazily for >1 GHz captures
-        # multi-chip: build a (ch, t) mesh and run the full sharded
+        # Build a (ch, t) mesh over ALL devices and run the full sharded
         # station step (parallel/station_step.py) as the per-block
-        # device program via ``process_captures``.  Default n_t=1: at
-        # production block lengths a time shard cannot hold the demod
-        # halo (nmem + frame margin ~= 0.8 s); ``mesh_time_shards``
-        # only pays on multi-second blocks.
-        import jax
-        if mesh is None and len(jax.devices()) > 1 and \
-                bool(self.config.get("use_mesh", True)):
+        # device program via ``process_captures`` — one code path from
+        # one chip to a pod (a 1-device mesh is the single-chip program;
+        # tests value-check it against the legacy per-block path).
+        # Default n_t=1: at production block lengths a time shard cannot
+        # hold the demod halo (nmem + frame margin ~= 0.8 s);
+        # ``mesh_time_shards`` only pays on multi-second blocks.
+        if mesh is None and bool(self.config.get("use_mesh", True)):
             from radiosonde_auto_rx_tpu.parallel.mesh import make_mesh
             mesh = make_mesh(
                 n_t=int(self.config.get("mesh_time_shards", 1)))
@@ -370,10 +370,18 @@ class Station:
         if st is None:
             from radiosonde_auto_rx_tpu.parallel.station_step import \
                 ShardedStationStep
+            # confirmation slots must cover a scan's worth of candidates
+            # regardless of mesh size (2 slots/shard on an 8-way mesh
+            # equals the old top-16 survivor cap; a 1-device mesh gets
+            # the same TOTAL slots, just all on one shard)
+            n_sh = self.mesh.shape["ch"]
+            conf_default = max(2, -(-2 * int(self.config.get(
+                "max_peaks", 10)) // n_sh))
             st = ShardedStationStep(
                 self.mesh, n_chan=prof.n_chan, fs_ch=prof.fs_ch,
                 capacity=int(self.config.get("expert_capacity", 4)),
-                conf_capacity=int(self.config.get("confirm_capacity", 2)))
+                conf_capacity=int(self.config.get("confirm_capacity",
+                                                  conf_default)))
             self._sharded_steps[key] = st
         return st
 
@@ -391,33 +399,56 @@ class Station:
         Telemetry equals the per-block single-device ``process_capture``
         (tests/test_station_sharded.py).  Falls back to the sequential
         path without a mesh or for wideband (L-band) captures."""
+        return self.captures_collect(self.captures_dispatch(blocks,
+                                                            centers))
+
+    def captures_dispatch(self, blocks, centers=None):
+        """Enqueue the data-independent device analysis for a block
+        batch (channelize + PSD + prescreen ratios); pair with
+        ``captures_collect``.  Splitting lets the driver double-buffer:
+        batch N+1's device work is in flight while batch N's host
+        policy/decode runs (round-3 verdict #7 — the synchronous loop
+        paid a measured ~27 ms tunnel round-trip per block)."""
         if centers is None:
             centers = [self.center_freq] * len(blocks)
         centers = [float(c) for c in centers]
         if self.mesh is None or any(
                 self.profile(c).wide for c in centers):
-            out = []
-            for b, c in zip(blocks, centers):
-                out.extend(self.process_capture(b, center_freq_hz=c))
-            return out
-        return self._process_captures_sharded(blocks, centers)
-
-    def _process_captures_sharded(self, blocks, centers) -> list:
-        from radiosonde_auto_rx_tpu.detect.prescreen import MARGIN
-        from radiosonde_auto_rx_tpu.parallel.station_step import \
-            EXPERT_TYPES
+            return ("seq", list(blocks), centers)
         prof = self.profile(centers[0])
         step = self._sharded_step(prof)
-        n_chan = prof.n_chan
-        B = len(blocks)
-        B_pad = -(-B // step.n_sh) * step.n_sh
+        B_pad = -(-len(blocks) // step.n_sh) * step.n_sh
         planes = [self._wide_planes(b) for b in blocks]
         T = int(planes[0].shape[-1])
         assert all(int(p.shape[-1]) == T for p in planes), \
             "sharded batch blocks must share a length"
         wide = jnp.stack(list(planes) +
-                         [jnp.zeros_like(planes[0])] * (B_pad - B))
+                         [jnp.zeros_like(planes[0])] * (B_pad -
+                                                        len(blocks)))
         chf, psd, ratios = step.analyze(wide)
+        return ("sharded", step, prof, chf, psd, ratios,
+                len(blocks), centers)
+
+    def captures_collect(self, pending) -> list:
+        """Finish a ``captures_dispatch`` batch: host scan/task policy,
+        sharded confirmation + expert routing, host frame decode."""
+        if pending[0] == "seq":
+            _, blocks, centers = pending
+            out = []
+            for b, c in zip(blocks, centers):
+                out.extend(self.process_capture(b, center_freq_hz=c))
+            return out
+        _, step, prof, chf, psd, ratios, B, centers = pending
+        return self._collect_sharded(step, prof, chf, psd, ratios, B,
+                                     centers)
+
+    def _collect_sharded(self, step, prof, chf, psd, ratios, B,
+                         centers) -> list:
+        from radiosonde_auto_rx_tpu.detect.prescreen import MARGIN
+        from radiosonde_auto_rx_tpu.parallel.station_step import \
+            EXPERT_TYPES
+        n_chan = prof.n_chan
+        B_pad = -(-B // step.n_sh) * step.n_sh
         psd_np = np.asarray(psd)
         ratios_np = np.asarray(ratios)
 

@@ -91,11 +91,14 @@ def _install_stubs(tmp_path, burst_path, monkeypatch):
         import numpy as np
         args = sys.argv[1:]
         center = fs = 0
+        dev = "0"
         for i, a in enumerate(args):
             if a == "-f":
                 center = int(args[i + 1])
             if a == "-s":
                 fs = int(args[i + 1])
+            if a == "-d":
+                dev = args[i + 1]
         if not center or not fs:
             # fail fast if get_sdr_iq_cmd's flag spelling drifts from the
             # '-f <int> -s <int>' form this stub parses
@@ -103,7 +106,7 @@ def _install_stubs(tmp_path, burst_path, monkeypatch):
                              f"from {{args!r}}\\n")
             raise SystemExit(2)
         with open(os.environ["RSX_FAKE_LOG"], "a") as f:
-            f.write(f"{{center}} {{fs}}\\n")
+            f.write(f"{{center}} {{fs}} {{dev}}\\n")
         base = os.environ["RSX_FAKE_BURST"]
         # per-center burst override (multi-source tests): burst.npy.<center>
         per = f"{{base}}.{{center}}.npy"
@@ -259,8 +262,8 @@ def test_two_sources_concurrent_no_hop_loss(tmp_path, monkeypatch):
                 tune_log.read_text().strip().splitlines()]
         centers = sorted(int(r[0]) for r in runs)
         assert centers == sorted([int(c_a), int(c_b)])
-        # per-source device indices reached the capture commands
-        assert {r[2] if len(r) > 2 else "" for r in runs} or True
+        # per-source [sdr_N] device indices reached the capture commands
+        assert {r[2] for r in runs} == {"0", "1"}
     finally:
         for s in srcs:
             s.close()
@@ -319,3 +322,111 @@ def test_retune_restarts_capture_process(tmp_path, monkeypatch):
                    (CENTER2 + float(st.freqs[7])) / 1e6) < 1e-6
     finally:
         src.close()
+
+
+def _install_paced_stub(tmp_path, monkeypatch, block_s, n_blocks,
+                        pace=1.25):
+    """A pacing rtl_fm stub: emits ``n_blocks`` counter-marked cs16
+    blocks at ``pace``x real time, then exits.  Block b's first three
+    I samples carry (magic, counter, device-index) so the consumer can
+    prove zero sample loss through pipe -> wire conversion -> prefetch
+    queue under sustained concurrent load."""
+    stub = textwrap.dedent(f"""\
+        #!{sys.executable}
+        import os, sys, time
+        import numpy as np
+        args = sys.argv[1:]
+        fs = 0
+        dev = "0"
+        for i, a in enumerate(args):
+            if a == "-s":
+                fs = int(args[i + 1])
+            if a == "-d":
+                dev = args[i + 1]
+        block_s = float(os.environ["RSX_PACE_BLOCK_S"])
+        n_blocks = int(os.environ["RSX_PACE_NBLOCKS"])
+        T = int(fs * block_s)
+        rng = np.random.default_rng(int(dev))
+        out = sys.stdout.buffer
+        for c in range(n_blocks):
+            i16 = (rng.standard_normal(2 * T) * 64).astype(np.int16)
+            i16[0] = 12345            # I[0]: magic
+            i16[2] = c                # I[1]: block counter
+            i16[4] = int(dev)         # I[2]: source identity
+            try:
+                out.write(i16.tobytes())
+                out.flush()
+            except BrokenPipeError:
+                raise SystemExit(0)
+            time.sleep(block_s / {pace})
+        """)
+    fm = tmp_path / "rtl_fm"
+    fm.write_text(stub)
+    fm.chmod(fm.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{tmp_path}{os.pathsep}"
+                       f"{os.environ.get('PATH', '')}")
+    monkeypatch.setenv("RSX_PACE_BLOCK_S", str(block_s))
+    monkeypatch.setenv("RSX_PACE_NBLOCKS", str(n_blocks))
+
+
+def test_sustained_multi_source_no_sample_loss(tmp_path, monkeypatch):
+    """Round-3 verdict #6: three concurrent paced sources for >= 20
+    block periods.  The round-robin drain (run_station's read pattern)
+    must see every block counter consecutively — zero prefetch-queue
+    drops or sample gaps — while keeping up with the paced real-time
+    rate, and the measured headroom is reported."""
+    import time
+
+    block_s = 0.2
+    n_blocks = 22
+    n_src = 3
+    _install_paced_stub(tmp_path, monkeypatch, block_s, n_blocks)
+
+    class _PArgs(_Args):
+        block_seconds = block_s
+
+    cfg = {"capture_rate": FS_WIDE, "num_channels": N_CHAN,
+           "sdr_type": "RTLSDR", "sdr_hostname": "", "sdr_port": 5555}
+    srcs = [BlockSource(cfg, _PArgs(), center_hz=CENTER1,
+                        sdr_settings={"rtl_device_idx": str(i)},
+                        name=f"sdr_{i + 1}")
+            for i in range(n_src)]
+    seen = [[] for _ in range(n_src)]
+    t0 = time.perf_counter()
+    try:
+        done = [False] * n_src
+        while not all(done):
+            for i, src in enumerate(srcs):
+                if done[i]:
+                    continue
+                _, block = src.read_block()
+                if block is None:
+                    done[i] = True
+                    continue
+                hdr = np.asarray(block[0, :3]) * 32768.0
+                assert round(float(hdr[0])) == 12345, \
+                    f"src {i}: block not marker-aligned ({hdr})"
+                assert round(float(hdr[2])) == i
+                seen[i].append(round(float(hdr[1])))
+                # a light host budget per block (~15% of the period x 3
+                # sources = 45% duty) — the drain must still keep up
+                time.sleep(block_s * 0.15)
+    finally:
+        wall = time.perf_counter() - t0
+        for s in srcs:
+            s.close()
+    # zero gaps: every counter, in order, from every source
+    for i in range(n_src):
+        assert seen[i] == list(range(n_blocks)), \
+            f"src {i} lost blocks: {seen[i]}"
+    # sustained real time: sources paced at 1.25x RT finish n_blocks in
+    # n_blocks * block_s / 1.25 ~= 3.5 s.  The budget allows 2x for CI
+    # load (parallel suites share these cores) — it gates structural
+    # stalls (a blocked queue, serialized captures), not scheduler noise
+    budget = 2 * n_blocks * block_s / 1.25 + 1.5
+    assert wall < budget, f"drain fell behind real time: {wall:.2f}s " \
+                          f"for a {budget:.2f}s budget"
+    headroom = (n_src * n_blocks * block_s) / wall
+    print(f"sustained drain headroom: {headroom:.2f}x real time "
+          f"({n_src} sources, {n_blocks} blocks, wall {wall:.2f}s)")
+    assert headroom > 1.0
