@@ -206,6 +206,83 @@ def bench_station_step(on_tpu, duty=0.2, cap=16):
     return msps, mfu, hbm, hbm_meas
 
 
+def bench_station_production(on_tpu, n_cand=20, actives=None):
+    """The PRODUCTION station's per-block device programs, measured as
+    the station dispatches them (Station._collect_sharded on a 1-device
+    mesh): ``analyze`` (PFB channelize + sparse-Welch PSD) → ``confirm``
+    (full-rate 4-stream detection on ``n_cand`` scan candidates — the
+    worst case: every block fills all confirmation slots) →
+    ``route_demod`` (expert-routed demod of the active channels;
+    12 expert programs x 4 capacity slots).  Host-side scan policy and
+    frame decode are excluded as before (amortized control logic).
+
+    Returns (wide Msps, step_ms, extra dict)."""
+    import numpy as np
+    from radiosonde_auto_rx_tpu.parallel.mesh import make_mesh
+    from radiosonde_auto_rx_tpu.parallel.station_step import (
+        EXPERT_TYPES, ShardedStationStep)
+
+    n_chan = 50
+    # t_ch must exceed the route_demod halo (~39k channel samples), so
+    # the CPU validation geometry keeps full-length captures and trims
+    # the batch instead
+    B = 10 if on_tpu else 1
+    t_wide = 2_400_000
+    reps = 10 if on_tpu else 2
+    if not on_tpu:
+        n_cand = min(n_cand, 6)
+    mesh = make_mesh(n_ch=1, n_t=1, devices=jax.devices()[:1])
+    step = ShardedStationStep(mesh, n_chan=n_chan, capacity=4,
+                              conf_capacity=n_cand)
+    # a realistic active-sonde load: ~1 sonde per capture across the
+    # common types (reference stations run ~5 concurrent tasks max,
+    # station.cfg.example:36-38 — this models 2x that)
+    if actives is None:
+        actives = ["RS41", "RS41", "RS41", "RS41", "DFM", "DFM",
+                   "M10", "M10", "M20", "MTS01"]
+    rng = np.random.default_rng(3)
+    exp_ids = np.full(B * n_chan, -1, np.int32)
+    for i, name in enumerate(actives[:B * n_chan]):
+        exp_ids[rng.integers(0, B * n_chan)] = EXPERT_TYPES.index(name)
+    slots = np.full(step.n_conf_slots, -1, np.int32)
+    slots[:n_cand] = rng.choice(B * n_chan, n_cand, replace=False)
+
+    key = jax.random.key(1)
+    wide = jax.random.normal(key, (B, 2, t_wide), jnp.float32)
+    exp_j = jnp.asarray(exp_ids)
+    slots_j = jnp.asarray(slots)
+    wide.block_until_ready()
+
+    def one_step():
+        chf, psd, _ = step.analyze(wide, screen=False)
+        conf = step.confirm(chf, slots_j)
+        res = step.route_demod(chf, exp_j)
+        # tiny consumption probes: psd + per-class peak stats + routed
+        # bits keep every program live without charging full fetches
+        return (psd.sum() + sum(p[0].sum() for p in conf["peaks"]) +
+                res["soft"][:, :, ::257].sum(),
+                res["bits"].astype(jnp.int32)[:, :, ::7].sum())
+
+    s, b = one_step()
+    float(s), int(b)
+    dt = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [one_step() for _ in range(reps)]
+        float(outs[-1][0])
+        dt = min(dt, time.perf_counter() - t0)
+    dt /= reps
+    msps = B * t_wide / dt / 1e6
+    extra = {
+        "model": "production device programs (analyze[no-screen] + "
+                 "confirm@%d cands + route_demod@%d active)" % (
+                     n_cand, int((exp_ids >= 0).sum())),
+        "confirm_slots": int(n_cand),
+        "routed_channels": int((exp_ids >= 0).sum()),
+    }
+    return msps, dt * 1e3, extra
+
+
 def bench_ablate(on_tpu, duty=0.2, cap=16):
     """Per-stage ablation of the station step at bench geometry:
     isolates channelize / PSD / prescreen / full-detect / demod with
@@ -274,17 +351,23 @@ def bench_ablate(on_tpu, duty=0.2, cap=16):
               ("prescreen", s_prescreen, chf),
               ("full_detect_top%d" % cap, s_fulldetect, chf),
               ("fsk_demod", s_demod, chf)]
+
+    def _sync(o):
+        # hard sync via a host fetch of one element — block_until_ready
+        # is not a reliable completion barrier on the axon tunnel
+        leaf = jax.tree.leaves(o)[0]
+        float(leaf.ravel()[0] if leaf.ndim else leaf)
+
     total_ms = 0.0
     rows = []
     for name, fn, arg in stages:
         j = jax.jit(fn)
-        out = j(arg)
-        jax.block_until_ready(out)
+        _sync(j(arg))
         dt = 1e30
         for _ in range(3):
             t0 = time.perf_counter()
             outs = [j(arg) for _ in range(reps)]
-            jax.block_until_ready(outs[-1])
+            _sync(outs[-1])
             dt = min(dt, (time.perf_counter() - t0) / reps)
         flops = nbytes = 0.0
         try:
@@ -418,9 +501,24 @@ def main():
     msps = bench_demod(on_tpu)
     extra = {}
     try:
+        # headline station metric: the PRODUCTION device programs as
+        # Station._collect_sharded dispatches them (worst-case full
+        # confirmation slots every block)
+        pr_msps, pr_ms, pr_extra = bench_station_production(on_tpu)
+        extra["station_step_msps_wideband"] = round(pr_msps, 3)
+        extra["station_step_vs_baseline"] = round(pr_msps / BASELINE_MSPS,
+                                                  2)
+        extra["station_step_ms"] = round(pr_ms, 2)
+        extra["station_step_model"] = pr_extra["model"]
+    except Exception as e:                      # pragma: no cover
+        extra["station_step_error"] = repr(e)[:200]
+    try:
+        # r2/r3 continuity model: every channel demodulated + two-phase
+        # detect at 20% duty (over-conservative vs production, kept so
+        # rounds stay comparable)
         st_msps, mfu, hbm, hbm_meas = bench_station_step(on_tpu)
-        extra["station_step_msps_wideband"] = round(st_msps, 3)
-        extra["station_step_vs_baseline"] = round(st_msps / BASELINE_MSPS, 2)
+        extra["station_step_msps_wideband_r3_allch_model"] = \
+            round(st_msps, 3)
         if mfu is not None:
             extra["station_step_mfu_pct_bf16peak"] = mfu
         if hbm is not None:
@@ -430,7 +528,7 @@ def main():
         extra["detect_duty"] = 0.2
         extra["detect_full_pass_cap"] = 16
     except Exception as e:                      # pragma: no cover
-        extra["station_step_error"] = repr(e)[:200]
+        extra["station_step_allch_error"] = repr(e)[:200]
     print(json.dumps({
         "metric": "fsk_demod_iq_throughput",
         "value": round(msps, 3),

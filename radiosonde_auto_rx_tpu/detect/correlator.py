@@ -288,8 +288,12 @@ def _correlate_peaks_blocknorm(x, bank, lens_t, block=128, rescore=True,
     floor_ck = 0.05 * jnp.sqrt(lensf_k) * rms[:, None]     # [C, K]
     tsum_b = tsum[None, None, :, None]
     # invalid tail positions score -1 < |any valid| >= 0, so the argmax
-    # always lands on a valid position (every block has >= 1 valid j)
-    y = jnp.abs(corr.astype(jnp.float32) - dc_all[..., None] * tsum_b)
+    # always lands on a valid position (every block has >= 1 valid j).
+    # y stays in the stream dtype (bf16 on TPU): this pass re-reads the
+    # whole corr cube — the stage's dominant traffic — and the in-block
+    # argmax it feeds is already block-granular; winners are re-scored
+    # exactly below (f32) before any threshold decision
+    y = jnp.abs(corr - (dc_all[..., None] * tsum_b).astype(corr.dtype))
     y = jnp.where(valid[None, :, None, :], y, -1.0)
     xm = jnp.mean(xf32, axis=-1)
     if not positions:

@@ -182,9 +182,19 @@ class ShardedStationStep:
 
     # ------------------------------------------------------------------ #
 
-    @partial(jax.jit, static_argnames=("self",))
-    def analyze(self, wide):
-        """Channelize + PSD + detection scores, sharded (ch, t)."""
+    @partial(jax.jit, static_argnames=("self", "screen"))
+    def analyze(self, wide, screen: bool = True):
+        """Channelize + PSD (+ optional all-channel detection scores),
+        sharded (ch, t).
+
+        ``screen=True`` additionally runs the half-rate prescreen bank
+        over EVERY channel (scan-less operation / expert_assignment
+        demos).  The production station passes ``screen=False``: its
+        candidates come from the PSD scan peaks (like the reference's
+        rtl_power -> detect_sonde flow, autorx/scan.py:948-1097) and go
+        straight to the full-rate ``confirm`` pass — screening all
+        ~500 channels costs more than confirming the <= max_peaks scan
+        candidates exactly."""
         N = self.n_chan
         Pp = self.pfb_p
         nfft = self.nfft
@@ -212,6 +222,8 @@ class ShardedStationStep:
             # unconditional collective: also establishes t-replication
             # for the out_specs check when n_t == 1
             psd = jax.lax.psum(psd, T_AXIS) / n_t
+            if not screen:
+                return chf, psd
             # --- detection scores on every channel (half-rate prescreen
             # bank); template-length halo so headers straddling a t-seam
             # are still seen; max over t shards
@@ -223,12 +235,14 @@ class ShardedStationStep:
             ratios = jax.lax.pmax(ratios, T_AXIS)
             return chf, psd, ratios
 
-        return shard_map(
+        out_specs = (P(CH_AXIS, None, T_AXIS), P(CH_AXIS, None)) + \
+            ((P(CH_AXIS, None),) if screen else ())
+        out = shard_map(
             body, mesh=self.mesh,
             in_specs=(P(CH_AXIS, None, T_AXIS),),
-            out_specs=(P(CH_AXIS, None, T_AXIS), P(CH_AXIS, None),
-                       P(CH_AXIS, None)),
+            out_specs=out_specs,
         )(wide)
+        return out if screen else (out[0], out[1], None)
 
     # ------------------------------------------------------------------ #
 

@@ -425,9 +425,11 @@ class Station:
         wide = jnp.stack(list(planes) +
                          [jnp.zeros_like(planes[0])] * (B_pad -
                                                         len(blocks)))
-        chf, psd, ratios = step.analyze(wide)
-        return ("sharded", step, prof, chf, psd, ratios,
-                len(blocks), centers)
+        # screen=False: candidates come from the PSD scan peaks and go
+        # straight to the full-rate confirm pass (screening all channels
+        # costs more than confirming <= max_peaks candidates exactly)
+        chf, psd, _ = step.analyze(wide, screen=False)
+        return ("sharded", step, prof, chf, psd, len(blocks), centers)
 
     def captures_collect(self, pending) -> list:
         """Finish a ``captures_dispatch`` batch: host scan/task policy,
@@ -438,24 +440,21 @@ class Station:
             for b, c in zip(blocks, centers):
                 out.extend(self.process_capture(b, center_freq_hz=c))
             return out
-        _, step, prof, chf, psd, ratios, B, centers = pending
-        return self._collect_sharded(step, prof, chf, psd, ratios, B,
-                                     centers)
+        _, step, prof, chf, psd, B, centers = pending
+        return self._collect_sharded(step, prof, chf, psd, B, centers)
 
-    def _collect_sharded(self, step, prof, chf, psd, ratios, B,
-                         centers) -> list:
-        from radiosonde_auto_rx_tpu.detect.prescreen import MARGIN
+    def _collect_sharded(self, step, prof, chf, psd, B, centers) -> list:
         from radiosonde_auto_rx_tpu.parallel.station_step import \
             EXPERT_TYPES
         n_chan = prof.n_chan
         B_pad = -(-B // step.n_sh) * step.n_sh
         psd_np = np.asarray(psd)
-        ratios_np = np.asarray(ratios)
 
         # host policy per block: scan peaks + task state -> candidates
-        # (prescreen-margin survivors) and forced tasks (manual/active)
+        # and forced tasks (manual/active)
         tasks = {}                   # global cid -> (name, det)
         cand = []
+        cand_strength = {}           # cid -> PSD dB at the channel
         for b in range(B):
             self.center_freq = centers[b]
             chans = self.scan_from_psd(psd_np[b]) if self.scan_enabled \
@@ -470,17 +469,25 @@ class Station:
                                       st_a["type"])
             for ci, name in forced.items():
                 tasks[b * n_chan + ci] = (name, None)
+            db = 10.0 * np.log10(np.maximum(psd_np[b], 1e-20))
+            nfft = db.shape[-1]
             for ci in chans:
                 cid = b * n_chan + ci
-                if cid not in tasks and ratios_np[cid].max() >= MARGIN:
+                if cid not in tasks:
                     cand.append(cid)
+                    # channel ci's PSD neighborhood (for overflow rank)
+                    k = int(round(prof.freqs[ci] / self.fs_wide * nfft)
+                            ) + nfft // 2
+                    lo = max(0, k - nfft // (2 * n_chan))
+                    cand_strength[cid] = float(
+                        db[lo:k + nfft // (2 * n_chan) + 1].max())
 
         # full-rate confirmation under the mesh: exact type decisions
         # (headcmp, M10/M20 + iMet disambiguation) identical to the
         # single-device two-phase detector
         S = step.n_conf_slots
         if len(cand) > S:
-            order = np.argsort([ratios_np[c].max() for c in cand])[::-1]
+            order = np.argsort([cand_strength[c] for c in cand])[::-1]
             log.warning("confirmation slots full: deferring %d of %d "
                         "candidates to the next block",
                         len(cand) - S, len(cand))
