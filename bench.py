@@ -241,27 +241,53 @@ def bench_station_production(on_tpu, n_cand=20, actives=None):
         actives = ["RS41", "RS41", "RS41", "RS41", "DFM", "DFM",
                    "M10", "M10", "M20", "MTS01"]
     rng = np.random.default_rng(3)
-    exp_ids = np.full(B * n_chan, -1, np.int32)
-    for i, name in enumerate(actives[:B * n_chan]):
-        exp_ids[rng.integers(0, B * n_chan)] = EXPERT_TYPES.index(name)
+    by_type = {}
+    for i, name in enumerate(actives):
+        by_type.setdefault(name, []).append(
+            int(rng.integers(0, B * n_chan)))
     slots = np.full(step.n_conf_slots, -1, np.int32)
     slots[:n_cand] = rng.choice(B * n_chan, n_cand, replace=False)
 
+    # per-present-type demod configs/resamplers: exactly what the
+    # station's decode_channels dispatches on a 1-shard mesh
+    from radiosonde_auto_rx_tpu.demod.fsk import (fsk_demod_stream)
+    from radiosonde_auto_rx_tpu.ops.resample import resample_planes
+    from radiosonde_auto_rx_tpu.station.station import (CHAIN_TABLE,
+                                                        _demod_cfg)
+    type_plan = []
+    for name, cids in by_type.items():
+        chain = CHAIN_TABLE[name]
+        fs = chain.get("resample_to") or 48000
+        cfg_t = _demod_cfg(fs, chain["rs"], chain.get("est", 10000),
+                           chain.get("mask", 0))
+        type_plan.append((cfg_t, chain.get("resample_to"),
+                          jnp.asarray(np.array(cids))))
+
     key = jax.random.key(1)
     wide = jax.random.normal(key, (B, 2, t_wide), jnp.float32)
-    exp_j = jnp.asarray(exp_ids)
     slots_j = jnp.asarray(slots)
     wide.block_until_ready()
+
+    @jax.jit
+    def demod_actives(chf):
+        acc = jnp.float32(0)
+        bsum = jnp.int32(0)
+        for cfg_t, rs_to, idx in type_plan:
+            x = chf[idx].astype(jnp.float32)
+            if rs_to:
+                x = resample_planes(x, 48000, rs_to)
+            soft, bits, _, _ = fsk_demod_stream(cfg_t, x)
+            acc = acc + soft[:, ::257].sum()
+            bsum = bsum + bits.astype(jnp.int32)[:, ::7].sum()
+        return acc, bsum
 
     def one_step():
         chf, psd, _ = step.analyze(wide, screen=False)
         conf = step.confirm(chf, slots_j)
-        res = step.route_demod(chf, exp_j)
-        # tiny consumption probes: psd + per-class peak stats + routed
-        # bits keep every program live without charging full fetches
-        return (psd.sum() + sum(p[0].sum() for p in conf["peaks"]) +
-                res["soft"][:, :, ::257].sum(),
-                res["bits"].astype(jnp.int32)[:, :, ::7].sum())
+        a, b = demod_actives(chf)
+        # tiny consumption probes: psd + per-class peak stats + demod
+        # sums keep every program live without charging full fetches
+        return psd.sum() + sum(p[0].sum() for p in conf["peaks"]) + a, b
 
     s, b = one_step()
     float(s), int(b)
@@ -275,10 +301,10 @@ def bench_station_production(on_tpu, n_cand=20, actives=None):
     msps = B * t_wide / dt / 1e6
     extra = {
         "model": "production device programs (analyze[no-screen] + "
-                 "confirm@%d cands + route_demod@%d active)" % (
-                     n_cand, int((exp_ids >= 0).sum())),
+                 "confirm@%d cands + %d-type demod@%d active)" % (
+                     n_cand, len(type_plan), len(actives)),
         "confirm_slots": int(n_cand),
-        "routed_channels": int((exp_ids >= 0).sum()),
+        "active_channels": len(actives),
     }
     return msps, dt * 1e3, extra
 

@@ -195,6 +195,151 @@ def _correlate_peaks_exact(x, bank, lens_t):
             jnp.mean(x.astype(jnp.float32), axis=-1))
 
 
+@partial(jax.jit, static_argnames=("lens_t", "block", "m_chunk",
+                                   "positions"))
+def _correlate_peaks_blocknorm_scan(x, bank, lens_t, block=128,
+                                    m_chunk=128, positions=True):
+    """Chunked-scan form of ``_correlate_peaks_blocknorm``: identical
+    math (same einsum-Toeplitz correlation, block-granular norms,
+    first-occurrence argmax tie-breaking, exact rescore at the peak),
+    but the [C, M, K·B] correlation cube never materializes — a
+    ``lax.scan`` over M-chunks keeps each chunk's corr/y/score inside
+    one fused iteration, cutting the stage's HBM traffic to the input
+    re-reads.  Outputs are bit-identical to the monolithic form (gated
+    by tests/test_detect.py)."""
+    C, T = x.shape
+    K, lmax = bank.shape
+    lens = np.asarray(lens_t)
+    B = block
+    nvalid = T - lmax + 1
+    M = -(-nvalid // B)
+    nbw = -(-(B + lmax - 1) // B)
+    W = nbw * B
+    Mc = min(m_chunk, M)
+    nch = -(-M // Mc)
+
+    w_np = jnp.stack([
+        jnp.pad(bank[k], (j, W - lmax - j))
+        for k in range(K) for j in range(B)], axis=1)       # [W, K*B]
+    Mb = -(-T // B)
+    pad_to = max((nch * Mc + nbw) * B, Mb * B)
+    xp = jnp.pad(x, ((0, 0), (0, pad_to - T)))
+    xb = xp.reshape(C, -1, B)
+
+    # block-granular norm terms (same as the monolithic form), padded
+    # over the chunk grid; padded rows can never win (valid=False)
+    xf32 = x.astype(jnp.float32)
+    xbn = xb[:, :Mb].astype(jnp.float32)
+    cs1b = jnp.concatenate([jnp.zeros((C, 1), jnp.float32),
+                            jnp.cumsum(xbn.sum(-1), axis=-1)], axis=-1)
+    cs2b = jnp.concatenate([jnp.zeros((C, 1), jnp.float32),
+                            jnp.cumsum((xbn * xbn).sum(-1), axis=-1)],
+                           axis=-1)
+    tsum = jnp.sum(bank, axis=-1).astype(jnp.float32)
+    rms = jnp.sqrt(jnp.mean(xf32 * xf32, axis=-1))
+    m_idx = jnp.arange(M)
+    dcs, xns = [], []
+    for k in range(K):
+        L = int(lens[k])
+        lb = min(-(-L // B) + 1, Mb)
+        lo = jnp.minimum(m_idx, Mb - lb)
+        s1 = jnp.take_along_axis(cs1b, lo[None] + lb, axis=1) - \
+            jnp.take_along_axis(cs1b, lo[None], axis=1)
+        s2 = jnp.take_along_axis(cs2b, lo[None] + lb, axis=1) - \
+            jnp.take_along_axis(cs2b, lo[None], axis=1)
+        n = jnp.float32(lb * B)
+        dc_a = s1 / n
+        dcs.append(dc_a)
+        xns.append(jnp.sqrt(jnp.maximum(s2 - n * dc_a * dc_a, 1e-12)))
+    dc_all = jnp.pad(jnp.stack(dcs, axis=2),
+                     ((0, 0), (0, nch * Mc - M), (0, 0)))   # [C, M', K]
+    xn_all = jnp.pad(jnp.stack(xns, axis=2),
+                     ((0, 0), (0, nch * Mc - M), (0, 0)),
+                     constant_values=1.0)
+    lensf_k = jnp.asarray(lens, jnp.float32)[None, :]
+    floor_ck = 0.05 * jnp.sqrt(lensf_k) * rms[:, None]      # [C, K]
+    wj = w_np.astype(x.dtype)
+    karange = jnp.arange(K)
+
+    def body(carry, i):
+        m0 = i * Mc
+        xwin = jnp.concatenate(
+            [jax.lax.dynamic_slice(xb, (0, m0 + k, 0), (C, Mc, B))
+             for k in range(nbw)], axis=-1)                  # [C, Mc, W]
+        corr = jnp.einsum("cmw,wo->cmo", xwin, wj,
+                          preferred_element_type=jnp.float32)
+        corr = corr.astype(x.dtype).reshape(C, Mc, K, B)
+        dc_c = jax.lax.dynamic_slice(dc_all, (0, m0, 0), (C, Mc, K))
+        xn_c = jax.lax.dynamic_slice(xn_all, (0, m0, 0), (C, Mc, K))
+        t_pos = (m0 + jnp.arange(Mc))[:, None] * B + jnp.arange(B)
+        valid = t_pos < nvalid                               # [Mc, B]
+        y = jnp.abs(corr - (dc_c[..., None] *
+                            tsum[None, None, :, None]).astype(corr.dtype))
+        y = jnp.where(valid[None, :, None, :], y, -1.0)
+        y_best = jnp.max(y, axis=-1)                         # [C, Mc, K]
+        score = y_best.astype(jnp.float32) / xn_c
+        score = jnp.where(xn_c < floor_ck[:, None, :], 0.0, score)
+        score = jnp.where((t_pos[:, 0] < nvalid)[None, :, None],
+                          score, -jnp.inf)
+        if not positions:
+            best = carry
+            return jnp.maximum(best, score.max(axis=1)), None
+        best, t_pk, corr_pk, dc_pk_a, xn_pk_a = carry
+        j_best = jnp.argmax(y, axis=-1).astype(jnp.int32)
+        m_loc = jnp.argmax(score, axis=1)                    # [C, K]
+        s_loc = jnp.max(score, axis=1)
+        j_loc = jnp.take_along_axis(j_best, m_loc[:, None, :],
+                                    axis=1)[:, 0]
+        dc_loc = jnp.take_along_axis(dc_c, m_loc[:, None, :],
+                                     axis=1)[:, 0]
+        xn_loc = jnp.take_along_axis(xn_c, m_loc[:, None, :],
+                                     axis=1)[:, 0]
+        corr_loc = jnp.take_along_axis(
+            corr.reshape(C, Mc * K * B),
+            m_loc * (K * B) + karange[None, :] * B + j_loc,
+            axis=-1).astype(jnp.float32)
+        t_loc = ((m0 + m_loc) * B + j_loc).astype(jnp.int32)
+        upd = s_loc > best
+        return (jnp.where(upd, s_loc, best),
+                jnp.where(upd, t_loc, t_pk),
+                jnp.where(upd, corr_loc, corr_pk),
+                jnp.where(upd, dc_loc, dc_pk_a),
+                jnp.where(upd, xn_loc, xn_pk_a)), None
+
+    xm = jnp.mean(xf32, axis=-1)
+    if not positions:
+        best0 = jnp.full((C, K), -jnp.inf, jnp.float32)
+        best, _ = jax.lax.scan(body, best0, jnp.arange(nch))
+        zero = jnp.zeros((C, K), jnp.float32)
+        return best, zero.astype(jnp.int32), zero, xm
+    carry0 = (jnp.full((C, K), -jnp.inf, jnp.float32),
+              jnp.zeros((C, K), jnp.int32),
+              jnp.zeros((C, K), jnp.float32),
+              jnp.zeros((C, K), jnp.float32),
+              jnp.ones((C, K), jnp.float32))
+    (best, t_pk, corr_pk, dc_pk_a, xn_pk_a), _ = jax.lax.scan(
+        body, carry0, jnp.arange(nch))
+
+    # exact per-position rescore at the peak (identical tail to the
+    # monolithic form)
+    cs1 = jnp.concatenate([jnp.zeros((C, 1), jnp.float32),
+                           jnp.cumsum(xf32, axis=-1)], axis=-1)
+    cs2 = jnp.concatenate([jnp.zeros((C, 1), jnp.float32),
+                           jnp.cumsum(xf32 * xf32, axis=-1)], axis=-1)
+    lensj = jnp.asarray(lens, jnp.int32)[None, :]
+    s1p = jnp.take_along_axis(cs1, t_pk + lensj, axis=1) - \
+        jnp.take_along_axis(cs1, t_pk, axis=1)
+    s2p = jnp.take_along_axis(cs2, t_pk + lensj, axis=1) - \
+        jnp.take_along_axis(cs2, t_pk, axis=1)
+    lensf = lensj.astype(jnp.float32)
+    dc_pk = s1p / lensf
+    xn_pk = jnp.sqrt(jnp.maximum(s2p - lensf * dc_pk * dc_pk, 1e-12))
+    floor = 0.05 * jnp.sqrt(lensf) * rms[:, None]
+    val = (corr_pk - dc_pk * tsum[None, :]) / xn_pk
+    val = jnp.where(xn_pk < floor, 0.0, val)
+    return val, t_pk, dc_pk, xm
+
+
 @partial(jax.jit, static_argnames=("lens_t", "block", "rescore",
                                    "positions"))
 def _correlate_peaks_blocknorm(x, bank, lens_t, block=128, rescore=True,
@@ -368,6 +513,10 @@ def _peaks_method():
 def _correlate_peaks(x, bank, lens_t, rescore=True):
     if _peaks_method() == "exact" or x.shape[-1] < 2 * bank.shape[-1]:
         return _correlate_peaks_exact(x, bank, lens_t)
+    if rescore:
+        # chunked-scan form: bit-identical outputs, no materialized
+        # correlation cube (the blocknorm stage's dominant HBM traffic)
+        return _correlate_peaks_blocknorm_scan(x, bank, lens_t)
     return _correlate_peaks_blocknorm(x, bank, lens_t, rescore=rescore)
 
 

@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from radiosonde_auto_rx_tpu.detect.correlator import (
-    _correlate_peaks_blocknorm, _correlate_peaks_exact)
+    _correlate_peaks_blocknorm_scan, _correlate_peaks_exact)
 from radiosonde_auto_rx_tpu.detect.templates import build_template_bank
 from radiosonde_auto_rx_tpu.ops.fir import design_lowpass, fir_filter_block
 from radiosonde_auto_rx_tpu.ops.fm import FM_GAIN
@@ -171,12 +171,12 @@ class Prescreen:
             # CPU tests validate exactly what the TPU runs); approximate
             # peak scores suffice against the derated margin
             if fm.shape[-1] >= 2 * bank.shape[-1]:
-                # positions=False: screening needs only |score| ratios,
-                # so the corr cube gets one fused max pass (no argmax
+                # positions=False: screening needs only |score| ratios —
+                # the chunked-scan form runs one fused max pass per
+                # M-chunk with no materialized corr cube (no argmax
                 # reduce, no peak gathers)
-                val, _, _, _ = _correlate_peaks_blocknorm(
-                    fm, bank.astype(fm.dtype), lens_t, rescore=False,
-                    positions=False)
+                val, _, _, _ = _correlate_peaks_blocknorm_scan(
+                    fm, bank.astype(fm.dtype), lens_t, positions=False)
             else:
                 val, _, _, _ = _correlate_peaks_exact(
                     fm, bank.astype(fm.dtype), lens_t)

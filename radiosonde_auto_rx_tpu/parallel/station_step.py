@@ -155,7 +155,11 @@ class ShardedStationStep:
         # ``frame_halo`` samples — 0.55 s default, the RS41 frame — lose
         # seam crossings, the same loss the reference takes at any
         # decoder restart).  Each t-shard must hold >= halo_max samples.
-        self.halo_max = max(halos) + int(frame_halo)
+        # With a single t-shard there are no seams: the halo would be
+        # pure zero-padding (~39k samples, +80% demod work at 1 s
+        # blocks) and is skipped entirely.
+        self.halo_max = (max(halos) + int(frame_halo)) if self.n_t > 1 \
+            else 0
         # detection halo: longest full-rate template + both FIR stages
         lmax = max(int(self.fs_ch / s.sps * len(s.header))
                    for s in self.prescreen.spec_order)
@@ -409,10 +413,14 @@ class ShardedStationStep:
                 xl, el, n_exp_pad, cap, n_sh, channel_ids=cid)
             S_tot = n_sh * cap
             # demod halo (one exchange OUTSIDE the expert switch — a
-            # collective inside lax.switch would deadlock the mesh)
-            flat = recv.reshape(e_local * S_tot * 2, T_l)
-            flat = halo_exchange_left(flat, halo_max, T_AXIS)
-            xh = flat.reshape(e_local, S_tot, 2, T_l + halo_max)
+            # collective inside lax.switch would deadlock the mesh);
+            # no-op on a single t-shard (halo_max == 0)
+            if halo_max:
+                flat = recv.reshape(e_local * S_tot * 2, T_l)
+                flat = halo_exchange_left(flat, halo_max, T_AXIS)
+                xh = flat.reshape(e_local, S_tot, 2, T_l + halo_max)
+            else:
+                xh = recv
 
             sid = jax.lax.axis_index(CH_AXIS)
             soft_o, bits_o, ebno_o = [], [], []

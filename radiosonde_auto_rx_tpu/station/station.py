@@ -504,11 +504,16 @@ class Station:
                 if det.name in CHAIN_TABLE or det.name in MODEL_NAME:
                     tasks[cid] = (det.name, det)
 
-        # expert routing over the mesh; non-expert types host-batched
+        # expert routing over the mesh; non-expert types host-batched.
+        # On a single ch shard there is nothing to route: the all-to-all
+        # degenerates and the 12-expert switch would demod every
+        # expert's capacity slots serially — the host-grouped per-type
+        # batch (only the types actually present) is the same program
+        # the legacy path runs, so use it.
         exp_ids = np.full(B_pad * n_chan, -1, np.int32)
         host_tasks = {}              # block -> [(ci, name, det)]
         for cid, (name, det) in tasks.items():
-            if name in EXPERT_TYPES:
+            if step.n_sh > 1 and name in EXPERT_TYPES:
                 exp_ids[cid] = EXPERT_TYPES.index(name)
             else:
                 b, ci = divmod(cid, n_chan)

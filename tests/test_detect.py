@@ -312,3 +312,42 @@ def test_welch_hop_modes_agree():
     assert np.argmax(a) == np.argmax(c)
     assert abs(np.median(a) - np.median(c)) < 0.5
     assert abs(a.max() - c.max()) < 1.0
+
+
+def test_blocknorm_scan_matches_monolithic():
+    """The chunked-scan blocknorm form must match the monolithic cube
+    form bit-for-bit (same einsum reductions, same block norms, same
+    first-occurrence argmax tie-breaking, same exact rescore)."""
+    import jax.numpy as jnp
+    from radiosonde_auto_rx_tpu.detect.correlator import (
+        _correlate_peaks_blocknorm, _correlate_peaks_blocknorm_scan)
+    from radiosonde_auto_rx_tpu.detect.templates import (
+        build_template_bank, TEMPLATES)
+    rng = np.random.default_rng(42)
+    specs = [s for s in TEMPLATES if s.lp_iq == 1]
+    bank, lens, _ = build_template_bank(48000, specs)
+    lens_t = tuple(int(v) for v in lens)
+    for T in (9000, 40000):
+        x = rng.standard_normal((5, T)).astype(np.float32)
+        # plant a template burst so real peaks exist
+        L = int(lens[0])
+        x[2, 1000:1000 + L] += 3.0 * np.asarray(bank[0][:L])
+        a = _correlate_peaks_blocknorm(jnp.asarray(x),
+                                       jnp.asarray(bank), lens_t)
+        b = _correlate_peaks_blocknorm_scan(jnp.asarray(x),
+                                            jnp.asarray(bank), lens_t,
+                                            m_chunk=64)
+        for va, vb, name in zip(a, b, ("val", "t_pk", "dc", "xm")):
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                          err_msg=name)
+        # screening mode: max |score| per (channel, type) must match the
+        # monolithic screening pass
+        a0 = _correlate_peaks_blocknorm(jnp.asarray(x),
+                                        jnp.asarray(bank), lens_t,
+                                        rescore=False, positions=False)[0]
+        b0 = _correlate_peaks_blocknorm_scan(jnp.asarray(x),
+                                             jnp.asarray(bank), lens_t,
+                                             m_chunk=64,
+                                             positions=False)[0]
+        np.testing.assert_allclose(np.asarray(b0), np.asarray(a0),
+                                   rtol=1e-6, atol=1e-6)
