@@ -307,16 +307,19 @@ def _correlate_peaks_blocknorm_scan(x, bank, lens_t, block=128,
                 jnp.where(upd, xn_loc, xn_pk_a)), None
 
     xm = jnp.mean(xf32, axis=-1)
+    # carry inits derive from x so they carry its varying manual axes
+    # when this runs inside a shard_map (sharded confirm/prescreen)
+    var0 = 0.0 * xf32[:, :1]                                # [C, 1]
     if not positions:
-        best0 = jnp.full((C, K), -jnp.inf, jnp.float32)
+        best0 = jnp.full((C, K), -jnp.inf, jnp.float32) + var0
         best, _ = jax.lax.scan(body, best0, jnp.arange(nch))
         zero = jnp.zeros((C, K), jnp.float32)
         return best, zero.astype(jnp.int32), zero, xm
-    carry0 = (jnp.full((C, K), -jnp.inf, jnp.float32),
-              jnp.zeros((C, K), jnp.int32),
-              jnp.zeros((C, K), jnp.float32),
-              jnp.zeros((C, K), jnp.float32),
-              jnp.ones((C, K), jnp.float32))
+    carry0 = (jnp.full((C, K), -jnp.inf, jnp.float32) + var0,
+              jnp.zeros((C, K), jnp.int32) + var0.astype(jnp.int32),
+              jnp.zeros((C, K), jnp.float32) + var0,
+              jnp.zeros((C, K), jnp.float32) + var0,
+              jnp.ones((C, K), jnp.float32) + var0)
     (best, t_pk, corr_pk, dc_pk_a, xn_pk_a), _ = jax.lax.scan(
         body, carry0, jnp.arange(nch))
 
