@@ -264,7 +264,10 @@ def bench_station_production(on_tpu, n_cand=20, actives=None):
                           jnp.asarray(np.array(cids))))
 
     key = jax.random.key(1)
-    wide = jax.random.normal(key, (B, 2, t_wide), jnp.float32)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    wide = jax.device_put(
+        jax.random.normal(key, (B, 2, t_wide), jnp.float32),
+        NamedSharding(mesh, P("ch", None, "t")))
     slots_j = jnp.asarray(slots)
     wide.block_until_ready()
 

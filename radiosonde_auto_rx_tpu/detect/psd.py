@@ -111,12 +111,20 @@ def _welch(x, nfft, hop=None):
         return jax.lax.dot_general(a, m, (((2,), (0,)), ((), ())),
                                    preferred_element_type=odt)
 
+    # ONE stacked matmul per group instead of four: [re|im] segments x
+    # [cos|sin] operand — same flops, 4x fewer kernel launches and a
+    # single MXU pipeline (measured win at bench geometry on v5e)
+    wcs = jnp.concatenate([wc, ws], axis=1)                # [nfft, 2nfft]
     acc = 0
     for segs in groups:
-        xr, xi = segs[:, 0].astype(mdt), segs[:, 1].astype(mdt)
-        re = dot(xr, wc) + dot(xi, ws)
-        im = dot(xi, wc) - dot(xr, ws)
-        p = re.astype(jnp.float32) ** 2 + im.astype(jnp.float32) ** 2
+        C_g, _, nk, _ = segs.shape
+        xcat = segs.astype(mdt).reshape(C_g, 2 * nk, nfft)
+        y = dot(xcat, wcs).reshape(C_g, 2, nk, 2, nfft)
+        yrc, yrs = y[:, 0, :, 0], y[:, 0, :, 1]            # xr·wc, xr·ws
+        yic, yis = y[:, 1, :, 0], y[:, 1, :, 1]            # xi·wc, xi·ws
+        re = yrc.astype(jnp.float32) + yis.astype(jnp.float32)
+        im = yic.astype(jnp.float32) - yrs.astype(jnp.float32)
+        p = re ** 2 + im ** 2
         acc = acc + p.sum(axis=1)
     return acc / (nseg * nfft)                             # [C, nfft]
 

@@ -205,40 +205,65 @@ class ShardedStationStep:
         n_t = self.n_t
         prescreen = self.prescreen
         det_halo = self.det_halo
+        single = self.mesh.size == 1
 
         def body(wl):
             B_l, _, T_l = wl.shape
             assert T_l % N == 0, "t-shard must be a multiple of n_chan"
-            # --- channelize with (P-1)*N left halo: output columns are
-            # bit-identical to the unsharded _channelize of the full
-            # stream (shard 0's zero halo = the unsharded zero pad)
-            halo = (Pp - 1) * N
-            wx = halo_exchange_left(
-                wl.reshape(B_l * 2, T_l), halo, T_AXIS
-            ).reshape(B_l, 2, T_l + halo)
-            ch = jax.vmap(
-                lambda w: _channelize(w, self.taps, N))(wx)[..., Pp - 1:]
+            # one cast pass up front: channelizer and Welch each re-read
+            # the full wideband block, and both compute in the branch
+            # dtype (bf16 on TPU) anyway — feeding them bf16 halves the
+            # stage's dominant HBM reads
+            from radiosonde_auto_rx_tpu.ops.channelizer import \
+                _branch_dtype
+            wl = wl.astype(_branch_dtype())
+            if n_t == 1:
+                # no t-seams: _channelize's own zero history equals the
+                # halo'd form exactly — skip the halo concat + trim
+                # copies (~290 MB/step at bench geometry)
+                ch = jax.vmap(lambda w: _channelize(w, self.taps, N))(wl)
+            else:
+                # --- channelize with (P-1)*N left halo: output columns
+                # are bit-identical to the unsharded _channelize of the
+                # full stream (shard 0's zero halo = the unsharded pad)
+                halo = (Pp - 1) * N
+                wx = halo_exchange_left(
+                    wl.reshape(B_l * 2, T_l), halo, T_AXIS
+                ).reshape(B_l, 2, T_l + halo)
+                ch = jax.vmap(
+                    lambda w: _channelize(w, self.taps, N)
+                )(wx)[..., Pp - 1:]
             C_l = B_l * N
             chf = ch.reshape(C_l, 2, T_l // N)
             # --- Welch PSD: local segment sums, psum over t (sparse
             # hop: one nfft window per 4*nfft — see station.scan)
             psd = _welch(wl, nfft, hop=4 * nfft)
-            # unconditional collective: also establishes t-replication
-            # for the out_specs check when n_t == 1
-            psd = jax.lax.psum(psd, T_AXIS) / n_t
+            if not single:
+                # unconditional collective: also establishes
+                # t-replication for the out_specs check when n_t == 1
+                psd = jax.lax.psum(psd, T_AXIS) / n_t
             if not screen:
                 return chf, psd
             # --- detection scores on every channel (half-rate prescreen
             # bank); template-length halo so headers straddling a t-seam
             # are still seen; max over t shards
             dc = jnp.mean(chf, axis=-1, keepdims=True) * 0.98
-            chx = halo_exchange_left(
-                (chf - dc).reshape(C_l * 2, T_l // N), det_halo, T_AXIS
-            ).reshape(C_l, 2, -1)
-            ratios = prescreen.template_ratios(chx)
-            ratios = jax.lax.pmax(ratios, T_AXIS)
+            if single:
+                ratios = prescreen.template_ratios(chf - dc)
+            else:
+                chx = halo_exchange_left(
+                    (chf - dc).reshape(C_l * 2, T_l // N), det_halo,
+                    T_AXIS).reshape(C_l, 2, -1)
+                ratios = prescreen.template_ratios(chx)
+                ratios = jax.lax.pmax(ratios, T_AXIS)
             return chf, psd, ratios
 
+        if single:
+            # 1x1 mesh: every collective is a no-op — run the identical
+            # body as a plain jit (shard_map adds measurable per-call
+            # overhead on the tunnel backend)
+            out = body(wide)
+            return out if screen else (out[0], out[1], None)
         out_specs = (P(CH_AXIS, None, T_AXIS), P(CH_AXIS, None)) + \
             ((P(CH_AXIS, None),) if screen else ())
         out = shard_map(
@@ -301,6 +326,7 @@ class ShardedStationStep:
         det = self.detector
         n_sh, cap = self.n_sh, self.conf_cap
         S = n_sh * cap
+        single = self.mesh.size == 1
         classes = [(bank, tuple(int(v) for v in lens))
                    for _, _, _, bank, lens in det.classes]
 
@@ -308,13 +334,18 @@ class ShardedStationStep:
             from radiosonde_auto_rx_tpu.detect.correlator import \
                 _correlate_peaks
             C_l, _, T_l = xl.shape
-            me = jax.lax.axis_index(CH_AXIS)
+            me = 0 if single else jax.lax.axis_index(CH_AXIS)
             own = (sc // C_l) == me                       # [S]
             rows = jnp.where(own, sc % C_l, 0)
             sel = jnp.where(own[:, None, None], xl[rows], 0.0)
-            sel = jax.lax.psum(sel, CH_AXIS)              # [S, 2, T_l]
-            full = jax.lax.all_gather(sel, T_AXIS, axis=2, tiled=True)
-            mine = jax.lax.dynamic_slice_in_dim(full, me * cap, cap, 0)
+            if single:
+                mine = sel                                # [S, 2, T]
+            else:
+                sel = jax.lax.psum(sel, CH_AXIS)          # [S, 2, T_l]
+                full = jax.lax.all_gather(sel, T_AXIS, axis=2,
+                                          tiled=True)
+                mine = jax.lax.dynamic_slice_in_dim(full, me * cap,
+                                                    cap, 0)
             # same DC block as SondeDetector.detect's entry
             mine = mine - jnp.mean(mine, axis=-1, keepdims=True) * 0.98
             streams = det._condition(mine)                # per class [cap,T]
@@ -324,23 +355,29 @@ class ShardedStationStep:
                     fm, bank.astype(fm.dtype), lens_t)
                 peaks.append((val, ipk, dc, xm))
             st = jnp.stack([s.astype(jnp.float32) for s in streams])
-            flat = tuple(v for p in peaks for v in p)
+            flat = (st,) + tuple(v for p in peaks for v in p)
+            if single:
+                return flat
             # every t-shard computed identical values from the gathered
             # full streams; the rep checker cannot infer that from
             # all_gather, so establish t-replication explicitly (pmax of
             # equal values — a few slots' worth of traffic)
-            return tuple(jax.lax.pmax(v, T_AXIS) for v in (st,) + flat)
+            return tuple(jax.lax.pmax(v, T_AXIS) for v in flat)
 
         n_cls = len(det.classes)
-        # per class: val/ipk/dc are [cap, K]; xm is [cap]
-        out_specs = ((P(None, CH_AXIS, None),) +
-                     (P(CH_AXIS, None), P(CH_AXIS, None),
-                      P(CH_AXIS, None), P(CH_AXIS)) * n_cls)
-        res = shard_map(
-            body, mesh=self.mesh,
-            in_specs=(P(CH_AXIS, None, T_AXIS), P()),
-            out_specs=out_specs,
-        )(channels, slot_cids)
+        if single:
+            # 1x1 mesh: collective-free body under plain jit
+            res = body(channels, slot_cids)
+        else:
+            # per class: val/ipk/dc are [cap, K]; xm is [cap]
+            out_specs = ((P(None, CH_AXIS, None),) +
+                         (P(CH_AXIS, None), P(CH_AXIS, None),
+                          P(CH_AXIS, None), P(CH_AXIS)) * n_cls)
+            res = shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(CH_AXIS, None, T_AXIS), P()),
+                out_specs=out_specs,
+            )(channels, slot_cids)
         streams = res[0]
         peaks = [tuple(res[1 + 4 * i + j] for j in range(4))
                  for i in range(n_cls)]
