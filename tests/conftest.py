@@ -25,3 +25,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_executable_memory():
+    """Release compiled executables at module boundaries.
+
+    The full suite compiles thousands of XLA:CPU executables; keeping
+    them all loaded eventually aborts the process inside
+    ``backend_compile_and_load`` (native SIGSEGV/SIGABRT after ~350
+    tests, no Python-level error).  Cross-module jit-cache hits are
+    rare — each test file exercises its own kernels — so clearing per
+    module costs little and bounds the live-executable footprint.
+    """
+    yield
+    jax.clear_caches()
