@@ -1,20 +1,44 @@
-"""Worker for the real multi-process mesh test (run as a subprocess).
+"""Worker for the real multi-process mesh tests (run as a subprocess).
 
 Usage: python multiproc_worker.py <coordinator> <nproc> <pid> <outdir>
+           [<mode> <ts>]
 
 Each process owns 4 virtual CPU devices; the global (ch, t) mesh spans
-all processes.  Runs make_station_step over a globally-sharded IQ tensor
-and writes this process's addressable output shards to <outdir>/out_<pid>
-so the parent can compare against a single-process reference
-(SURVEY §4.7: multi-host tests via jax multi-process simulation).
+all processes (SURVEY §4.7: multi-host tests via jax multi-process
+execution — the collectives really cross process boundaries over the
+distributed runtime, the closest this single-host environment gets to
+DCN).
+
+Modes:
+  pipeline (default) — make_station_step (IF FIR + FSK demod) on a pure
+      channel-DP mesh; writes per-channel bit shards.
+  station — the FULL ShardedStationStep dataflow (PFB channelize →
+      Welch PSD → prescreen ratios → full-rate confirm → expert
+      all-to-all routing → per-type demod) on the (ch, t) = (4, 2)
+      mesh, on the shared multi-sonde fixture (station_fixture.py,
+      built deterministically from <ts>).  Writes every output's
+      addressable shards keyed by global index so the parent can
+      reassemble and compare bitwise against its own single-process
+      8-device run.
 """
 
 import os
 import sys
 
 
+def _save_sharded(npz, name, arr):
+    """Collect ``arr``'s addressable shards into ``npz`` keyed by
+    name|start,start,... (global offsets of the shard)."""
+    import numpy as np
+    for s in arr.addressable_shards:
+        starts = ",".join(str(sl.start or 0) for sl in s.index)
+        npz[f"{name}|{starts}"] = np.asarray(s.data)
+
+
 def main():
     coordinator, nproc, pid, outdir = sys.argv[1:5]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "pipeline"
+    ts = float(sys.argv[6]) if len(sys.argv) > 6 else None
     nproc, pid = int(nproc), int(pid)
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -30,9 +54,16 @@ def main():
     from jax.sharding import NamedSharding, PartitionSpec as P
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from radiosonde_auto_rx_tpu.parallel.mesh import make_mesh
+
+    if mode == "station":
+        run_station(jax, np, jnp, NamedSharding, P, make_mesh,
+                    nproc, pid, outdir, ts)
+        return
+
     from radiosonde_auto_rx_tpu.demod.fsk import FSKConfig
     from radiosonde_auto_rx_tpu.ops.fir import design_lowpass
-    from radiosonde_auto_rx_tpu.parallel.mesh import make_mesh
     from radiosonde_auto_rx_tpu.parallel.pipeline import make_station_step
 
     cfg = FSKConfig(fs=48000, rs=4800, m=2, p=5, nsym=50,
@@ -69,6 +100,63 @@ def main():
     np.savez(os.path.join(outdir, f"out_{pid}.npz"),
              **{str(k): v for k, v in shards.items()})
     print(f"worker {pid}: wrote {len(shards)} shards", flush=True)
+
+
+def run_station(jax, np, jnp, NamedSharding, P, make_mesh,
+                nproc, pid, outdir, ts):
+    import station_fixture as fx
+    from radiosonde_auto_rx_tpu.parallel.station_step import (
+        EXPERT_TYPES, ShardedStationStep)
+
+    mesh = make_mesh(n_ch=2 * nproc, n_t=2)      # (4, 2) global mesh
+    step = ShardedStationStep(mesh, n_chan=fx.N_CHAN, capacity=2,
+                              conf_capacity=2)
+
+    wide_np = fx.make_wide_captures(ts)          # deterministic from ts
+    wide = jax.make_array_from_callback(
+        wide_np.shape, NamedSharding(mesh, P("ch", None, "t")),
+        lambda idx: wide_np[idx])
+
+    chf, psd, ratios = step.analyze(wide)
+
+    # confirmation slots: the four sonde channels + one noise channel
+    cands = [fx.RS41_CAP * fx.N_CHAN + fx.RS41_CH,
+             fx.M20_CAP * fx.N_CHAN + fx.M20_CH,
+             fx.DFM_CAP * fx.N_CHAN + fx.DFM_CH,
+             fx.M10_CAP * fx.N_CHAN + fx.M10_CH,
+             2 * fx.N_CHAN + 1]
+    slots_np = np.full(step.n_conf_slots, -1, np.int32)
+    slots_np[:len(cands)] = cands
+    slots = jax.make_array_from_callback(
+        slots_np.shape, NamedSharding(mesh, P()), lambda idx: slots_np[idx])
+    conf = step.confirm(chf, slots)
+
+    # expert routing: the known fixture types (the host policy that maps
+    # confirm decisions to expert ids is exercised in-process by
+    # tests/test_station_step.py; THIS test pins the cross-process
+    # all-to-all + demod dataflow on a deterministic assignment)
+    exp_np = np.full(fx.B * fx.N_CHAN, -1, np.int32)
+    for cap, ch, name in ((fx.RS41_CAP, fx.RS41_CH, "RS41"),
+                          (fx.M20_CAP, fx.M20_CH, "M20"),
+                          (fx.DFM_CAP, fx.DFM_CH, "DFM"),
+                          (fx.M10_CAP, fx.M10_CH, "M10")):
+        exp_np[cap * fx.N_CHAN + ch] = EXPERT_TYPES.index(name)
+    exp_ids = jax.make_array_from_callback(
+        exp_np.shape, NamedSharding(mesh, P("ch")), lambda idx: exp_np[idx])
+    res = step.route_demod(chf, exp_ids)
+    jax.block_until_ready(res["bits"])
+
+    out = {}
+    _save_sharded(out, "ratios", ratios)
+    _save_sharded(out, "psd", psd)
+    _save_sharded(out, "streams", conf["streams"])
+    for ci, pk in enumerate(conf["peaks"]):
+        for j, part in enumerate(("val", "ipk", "dc", "xm")):
+            _save_sharded(out, f"peak{ci}_{part}", pk[j])
+    for k in ("soft", "bits", "ebno", "ids", "mask"):
+        _save_sharded(out, k, res[k])
+    np.savez(os.path.join(outdir, f"station_{pid}.npz"), **out)
+    print(f"worker {pid}: wrote {len(out)} station shards", flush=True)
 
 
 if __name__ == "__main__":

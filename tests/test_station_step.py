@@ -3,113 +3,26 @@ on a (ch, t) mesh, value-checked against the single-device dataflow
 (VERDICT r2 #1: the sharded program must cover the full station, not
 just FIR+demod).  Runs on the virtual 8-device CPU mesh."""
 
-import datetime
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-from radiosonde_auto_rx_tpu.demod.fsk import fsk_demod_stream
-from radiosonde_auto_rx_tpu.demod.modulate import gfsk_mod
-from radiosonde_auto_rx_tpu.models import get_model
-from radiosonde_auto_rx_tpu.ops.channelizer import channel_freqs
 from radiosonde_auto_rx_tpu.parallel.mesh import make_mesh
 from radiosonde_auto_rx_tpu.parallel.station_step import (
     EXPERT_TYPES, ShardedStationStep)
 
-N_CHAN = 16
-FS_WIDE = 768_000
-B = 4                     # captures (one per ch shard on the 4x2 mesh)
-T_WIDE = 2_304_000        # 3 s -> 144000 channel samples (t-shards must
-                          # hold the demod halo incl. frame margin; DFM
-                          # needs >= 2 full 1.12 s cycles to decode)
-RS41_CAP, RS41_CH = 0, 5
-M20_CAP, M20_CH = 3, 9
-DFM_CAP, DFM_CH = 1, 4    # resampled expert (48 kHz -> 50 kHz)
-M10_CAP, M10_CH = 2, 11   # resampled expert (48 kHz -> 48.08 kHz)
+from radiosonde_auto_rx_tpu.demod.fsk import fsk_demod_stream
+from radiosonde_auto_rx_tpu.models import get_model
 
-
-def _rs41_bits(rng):
-    from radiosonde_auto_rx_tpu.models.rs41 import (
-        encode_frame, frame_to_bits, make_calibytes)
-    now = datetime.datetime.now(datetime.timezone.utc)
-    week = (now - datetime.datetime(1980, 1, 6,
-                                    tzinfo=datetime.timezone.utc)).days // 7
-    dow = (now.weekday() + 1) % 7
-    tow_ms = ((dow * 24 + now.hour) * 3600 + now.minute * 60 +
-              now.second) * 1000
-    cal = make_calibytes()
-    return np.concatenate(
-        [rng.integers(0, 2, 400)] +
-        [frame_to_bits(encode_frame(
-            frame_nb=900 + i, sonde_id="T1357911", week=week,
-            tow_ms=tow_ms + i * 1000, lat=-34.5, lon=138.6, alt=12000.0,
-            calibytes=cal, calfr=i)) for i in range(3)] +
-        [rng.integers(0, 2, 400)])
-
-
-def _m20_bits(rng):
-    from radiosonde_auto_rx_tpu.models.m10 import (
-        encode_frame_m20, frame_to_raw_bits)
-    idle = np.tile(np.array([1, 0], np.uint8), 200)
-    raw = np.concatenate([frame_to_raw_bits(encode_frame_m20())
-                          for _ in range(4)])
-    return np.concatenate([idle, raw, idle])
-
-
-def _dfm_bits(rng, n_cycles=2):
-    # 2 cycles decode positions; serial confirmation (and therefore the
-    # production telemetry filter) needs >= 3 cycles
-    from radiosonde_auto_rx_tpu.models.dfm import encode_flight_bits
-    return np.concatenate([
-        rng.integers(0, 2, 500).astype(np.uint8),
-        encode_flight_bits(sn=21054321, lat=47.9, lon=16.8,
-                           n_cycles=n_cycles,
-                           time_step=1.0).astype(np.uint8)])
-
-
-def _m10_bits(rng):
-    from radiosonde_auto_rx_tpu.models.m10 import (
-        encode_frame_m10, frame_to_raw_bits)
-    idle = np.tile(np.concatenate([np.ones(8, np.uint8),
-                                   np.zeros(8, np.uint8)]), 40)
-    raw = np.concatenate([frame_to_raw_bits(encode_frame_m10(
-        lat=48.2, lon=16.4, alt=11000.0)) for _ in range(3)])
-    return np.concatenate([idle, raw, idle])
-
-
-def _taper(sig, n=4096):
-    """Cosine ramp on the burst edges: an instantaneous IQ amplitude
-    step is nonphysical (real transmitters key up/down over many
-    symbols) and its broadband transient lands in different sparse-Welch
-    segments depending on tiling offset."""
-    w = 0.5 - 0.5 * np.cos(np.pi * np.arange(n) / n)
-    sig[:n] *= w
-    sig[-n:] *= w[::-1]
-    return sig
+from station_fixture import (
+    N_CHAN, FS_WIDE, B, T_WIDE, RS41_CAP, RS41_CH, M20_CAP, M20_CH,
+    DFM_CAP, DFM_CH, M10_CAP, M10_CH, make_wide_captures)
 
 
 @pytest.fixture(scope="module")
 def wide_captures():
-    rng = np.random.default_rng(7)
-    freqs = channel_freqs(N_CHAN, FS_WIDE)
-    wide = (rng.standard_normal((B, T_WIDE)) +
-            1j * rng.standard_normal((B, T_WIDE))
-            ).astype(np.complex64) * 0.002
-    rs41 = _taper(gfsk_mod(_rs41_bits(rng), FS_WIDE, 4800, 2,
-                           freqs[RS41_CH], 4800, bt=0.5)[:T_WIDE])
-    wide[RS41_CAP, :len(rs41)] += rs41
-    m20 = _taper(gfsk_mod(_m20_bits(rng), FS_WIDE, 9600, 2,
-                          freqs[M20_CH], 9600, bt=1.0)[:T_WIDE])
-    wide[M20_CAP, :len(m20)] += m20
-    dfm = _taper(gfsk_mod(_dfm_bits(rng), FS_WIDE, 2500, 2,
-                          freqs[DFM_CH], 5000, bt=0.5)[:T_WIDE])
-    wide[DFM_CAP, :len(dfm)] += dfm
-    m10 = _taper(gfsk_mod(_m10_bits(rng), FS_WIDE, 9616, 2,
-                          freqs[M10_CH], 10000, bt=1.0)[:T_WIDE])
-    wide[M10_CAP, :len(m10)] += m10
-    return np.stack([wide.real, wide.imag], axis=1).astype(np.float32)
+    return make_wide_captures()
 
 
 @pytest.fixture(scope="module")
