@@ -60,7 +60,7 @@ def bench_demod(on_tpu):
     cfg = _cfg()
     channels = 512 if on_tpu else 16
     t_samples = 48000 * 4 if on_tpu else 48000
-    reps = 10 if on_tpu else 2
+    reps = 50 if on_tpu else 2
 
     x = jax.jit(make_input, static_argnums=(0, 1, 2))(
         cfg, channels, t_samples, jax.random.key(0))
@@ -84,10 +84,18 @@ def bench_demod(on_tpu):
     # backend, which is latency, not throughput — production streaming
     # overlaps dispatch with compute exactly like this.  Best of 3
     # trials: the tunnel occasionally stalls a dispatch stream.
+    # reps must be large: the timed batch carries a fixed ~30 ms
+    # enqueue+sync overhead that production streaming amortizes to zero
+    # (measured round 4: a scalar jit costs 6 ms/call at reps=5,
+    # 0.47 ms/call at reps=100 — pure dispatch, not device time).
+    # Inputs ALTERNATE between two buffers so no caching layer can
+    # collapse repeated identical executions.
+    x2 = jax.jit(lambda v: v + 1e-4)(x)
+    x2.block_until_ready()
     dt = 1e30
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = [runj(x, state0) for _ in range(reps)]
+        outs = [runj((x, x2)[i % 2], state0) for i in range(reps)]
         float(outs[-1][0])                # host fetch = hard sync point
         dt = min(dt, time.perf_counter() - t0)
     return channels * t_samples * reps / dt / 1e6
@@ -106,7 +114,7 @@ def bench_station_step(on_tpu, duty=0.2, cap=16):
     n_chan = 50                       # production: 2.4 MHz / 48 kHz
     B = 10 if on_tpu else 1           # captures per step (C = 500 chans)
     t_wide = 2_400_000 if on_tpu else 480_000   # 1 s / 0.2 s per capture
-    reps = 10 if on_tpu else 2
+    reps = 50 if on_tpu else 2
     cfg = _cfg()
     taps = jnp.asarray(pfb_prototype(n_chan))
     det = SondeDetector(48000)
@@ -162,12 +170,15 @@ def bench_station_step(on_tpu, duty=0.2, cap=16):
     stepj = jax.jit(step)
     s, b = stepj(wide)
     float(s), int(b)
+    wide2 = jax.jit(lambda v: v + 1e-4)(wide)
+    wide2.block_until_ready()
 
-    # pipelined dispatch (see bench_demod): sync once, not per rep
+    # pipelined dispatch (see bench_demod): sync once, not per rep;
+    # alternating inputs, high reps (fixed-batch overhead amortized)
     dt = 1e30
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = [stepj(wide) for _ in range(reps)]
+        outs = [stepj((wide, wide2)[i % 2]) for i in range(reps)]
         float(outs[-1][0])
         dt = min(dt, time.perf_counter() - t0)
     msps = B * t_wide * reps / dt / 1e6
@@ -187,16 +198,21 @@ def bench_station_step(on_tpu, duty=0.2, cap=16):
             # roofline vs the bandwidth THIS chip actually sustains
             # (the axon-tunneled v5e measures far below spec): time a
             # saxpy and scale
-            n = 64 * 1024 * 1024
+            n = 16 * 1024 * 1024
             a = jnp.ones((n,), jnp.float32)
+            a2 = a * 1.0001
             f = jax.jit(lambda v: v * 1.5 + 1.0)
             f(a).block_until_ready()
+            # high reps + alternating inputs: at reps=5 this probe
+            # measured 95 GB/s — that was the DISPATCH floor, not the
+            # memory system (round-4 metrology fix); v5e spec is
+            # 819 GB/s and the probe sees ~300+ once amortized
             best = 1e30
             for _ in range(3):
                 t0 = time.perf_counter()
-                outs = [f(a) for _ in range(5)]
+                outs = [f((a, a2)[i % 2]) for i in range(40)]
                 float(outs[-1][0])
-                best = min(best, (time.perf_counter() - t0) / 5)
+                best = min(best, (time.perf_counter() - t0) / 40)
             # report the sustained number itself: cost_analysis bytes
             # are logical (pre-VMEM-reuse), so a percentage against it
             # can exceed 100 and would mislead
@@ -228,7 +244,7 @@ def bench_station_production(on_tpu, n_cand=20, actives=None):
     # the batch instead
     B = 10 if on_tpu else 1
     t_wide = 2_400_000
-    reps = 10 if on_tpu else 2
+    reps = 50 if on_tpu else 2
     if not on_tpu:
         n_cand = min(n_cand, 6)
     mesh = make_mesh(n_ch=1, n_t=1, devices=jax.devices()[:1])
@@ -265,11 +281,12 @@ def bench_station_production(on_tpu, n_cand=20, actives=None):
 
     key = jax.random.key(1)
     from jax.sharding import NamedSharding, PartitionSpec as P
-    wide = jax.device_put(
-        jax.random.normal(key, (B, 2, t_wide), jnp.float32),
-        NamedSharding(mesh, P("ch", None, "t")))
+    sh = NamedSharding(mesh, P("ch", None, "t"))
+    wide = jax.device_put(jax.random.normal(key, (B, 2, t_wide),
+                                            jnp.float32), sh)
+    wide2 = jax.device_put(jax.jit(lambda v: v + 1e-4)(wide), sh)
     slots_j = jnp.asarray(slots)
-    wide.block_until_ready()
+    wide2.block_until_ready()
 
     @jax.jit
     def demod_actives(chf):
@@ -284,20 +301,22 @@ def bench_station_production(on_tpu, n_cand=20, actives=None):
             bsum = bsum + bits.astype(jnp.int32)[:, ::7].sum()
         return acc, bsum
 
-    def one_step():
-        chf, psd, _ = step.analyze(wide, screen=False)
+    def one_step(w):
+        chf, psd, _ = step.analyze(w, screen=False)
         conf = step.confirm(chf, slots_j)
         a, b = demod_actives(chf)
         # tiny consumption probes: psd + per-class peak stats + demod
         # sums keep every program live without charging full fetches
         return psd.sum() + sum(p[0].sum() for p in conf["peaks"]) + a, b
 
-    s, b = one_step()
+    s, b = one_step(wide)
+    float(s), int(b)
+    s, b = one_step(wide2)
     float(s), int(b)
     dt = 1e30
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = [one_step() for _ in range(reps)]
+        outs = [one_step((wide, wide2)[i % 2]) for i in range(reps)]
         float(outs[-1][0])
         dt = min(dt, time.perf_counter() - t0)
     dt /= reps
