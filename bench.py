@@ -349,7 +349,7 @@ def bench_ablate(on_tpu, duty=0.2, cap=16):
     n_chan = 50
     B = 10 if on_tpu else 1
     t_wide = 2_400_000 if on_tpu else 480_000
-    reps = 10 if on_tpu else 2
+    reps = 50 if on_tpu else 2
     cfg = _cfg()
     taps = jnp.asarray(pfb_prototype(n_chan))
     det = SondeDetector(48000)
@@ -410,11 +410,13 @@ def bench_ablate(on_tpu, duty=0.2, cap=16):
     rows = []
     for name, fn, arg in stages:
         j = jax.jit(fn)
+        arg2 = jax.jit(lambda v: v + 1e-4)(arg)
         _sync(j(arg))
+        _sync(j(arg2))
         dt = 1e30
         for _ in range(3):
             t0 = time.perf_counter()
-            outs = [j(arg) for _ in range(reps)]
+            outs = [j((arg, arg2)[i % 2]) for i in range(reps)]
             _sync(outs[-1])
             dt = min(dt, (time.perf_counter() - t0) / reps)
         flops = nbytes = 0.0

@@ -284,27 +284,23 @@ def _correlate_peaks_blocknorm_scan(x, bank, lens_t, block=128,
         if not positions:
             best = carry
             return jnp.maximum(best, score.max(axis=1)), None
-        best, t_pk, corr_pk, dc_pk_a, xn_pk_a = carry
+        best, t_pk, corr_pk = carry
         j_best = jnp.argmax(y, axis=-1).astype(jnp.int32)
         m_loc = jnp.argmax(score, axis=1)                    # [C, K]
         s_loc = jnp.max(score, axis=1)
         j_loc = jnp.take_along_axis(j_best, m_loc[:, None, :],
                                     axis=1)[:, 0]
-        dc_loc = jnp.take_along_axis(dc_c, m_loc[:, None, :],
-                                     axis=1)[:, 0]
-        xn_loc = jnp.take_along_axis(xn_c, m_loc[:, None, :],
-                                     axis=1)[:, 0]
         corr_loc = jnp.take_along_axis(
             corr.reshape(C, Mc * K * B),
             m_loc * (K * B) + karange[None, :] * B + j_loc,
             axis=-1).astype(jnp.float32)
         t_loc = ((m0 + m_loc) * B + j_loc).astype(jnp.int32)
         upd = s_loc > best
+        # dc/xn at the peak are NOT carried: the exact-rescore tail
+        # recomputes them from cumsums at t_pk
         return (jnp.where(upd, s_loc, best),
                 jnp.where(upd, t_loc, t_pk),
-                jnp.where(upd, corr_loc, corr_pk),
-                jnp.where(upd, dc_loc, dc_pk_a),
-                jnp.where(upd, xn_loc, xn_pk_a)), None
+                jnp.where(upd, corr_loc, corr_pk)), None
 
     xm = jnp.mean(xf32, axis=-1)
     # carry inits derive from x so they carry its varying manual axes
@@ -317,10 +313,8 @@ def _correlate_peaks_blocknorm_scan(x, bank, lens_t, block=128,
         return best, zero.astype(jnp.int32), zero, xm
     carry0 = (jnp.full((C, K), -jnp.inf, jnp.float32) + var0,
               jnp.zeros((C, K), jnp.int32) + var0.astype(jnp.int32),
-              jnp.zeros((C, K), jnp.float32) + var0,
-              jnp.zeros((C, K), jnp.float32) + var0,
-              jnp.ones((C, K), jnp.float32) + var0)
-    (best, t_pk, corr_pk, dc_pk_a, xn_pk_a), _ = jax.lax.scan(
+              jnp.zeros((C, K), jnp.float32) + var0)
+    (best, t_pk, corr_pk), _ = jax.lax.scan(
         body, carry0, jnp.arange(nch))
 
     # exact per-position rescore at the peak (identical tail to the

@@ -397,12 +397,24 @@ class ShardedStationStep:
         S = self.n_conf_slots
         merged = [[] for _ in range(S)]
         streams = conf["streams"]
+        # headcmp + subtype disambiguation fetch the same conditioned
+        # stream up to 3x per candidate; each uncached np.asarray is a
+        # full device->host row transfer (same memoization as
+        # correlator.detect_types)
+        _cache = {}
+
+        def _chan(ci, c):
+            key = (ci, int(c))
+            if key not in _cache:
+                _cache[key] = np.asarray(streams[ci, c])
+            return _cache[key]
+
         for ci, ((_, _, cls_specs, _, lens), pk) in enumerate(
                 zip(det.classes, conf["peaks"])):
             val, ipk, dc, xm = (np.asarray(v) for v in pk)
             dets = decide_from_peaks(
                 val, ipk, dc, xm, cls_specs, np.asarray(lens),
-                chan=lambda c, ci=ci: np.asarray(streams[ci, c]),
+                chan=lambda c, ci=ci: _chan(ci, c),
                 fm_gain_hz=self.fs_ch / (2.0 * FM_GAIN), max_det=0,
                 fs=self.fs_ch, wideband=self.fs_ch > 50000)
             for s in range(S):
@@ -468,10 +480,13 @@ class ShardedStationStep:
                     if eidx >= n_exp:       # mesh-divisibility pad slot
                         def run_pad(xe):
                             # zeros derived from the (varying) input so
-                            # the switch branches' output types match
+                            # the switch branches' output types match;
+                            # ebno cast to f32 (channel planes are bf16
+                            # on TPU, real branches emit f32 ebno)
                             z = jnp.zeros((S_tot, out_max), jnp.float32) \
-                                + 0.0 * xe[:, 0, :1]
-                            return z, z, 0.0 * xe[:, 0, 0]
+                                + 0.0 * xe[:, 0, :1].astype(jnp.float32)
+                            return z, z, \
+                                0.0 * xe[:, 0, 0].astype(jnp.float32)
                         return run_pad
                     cfg = cfgs[eidx]
                     blen, nb = lens[eidx]
@@ -480,8 +495,9 @@ class ShardedStationStep:
                     def run(xe):
                         if nb == 0:
                             z = jnp.zeros((S_tot, out_max), jnp.float32) \
-                                + 0.0 * xe[:, 0, :1]
-                            return z, z, 0.0 * xe[:, 0, 0]
+                                + 0.0 * xe[:, 0, :1].astype(jnp.float32)
+                            return z, z, \
+                                0.0 * xe[:, 0, 0].astype(jnp.float32)
                         if rs_to:
                             # static periodic-block matmul resampler
                             # (the tsrc analogue, ops/resample.py)

@@ -392,8 +392,13 @@ def run_station(args, config) -> int:
     def _open_source(i):
         part = partitions[i]
         start_hz = (part[0].center_hz if part else args.center * 1e6)
+        # prefetch must cover the micro-batch drain: while one source's
+        # ``mb`` consecutive blocks are pulled for the mesh cycle, the
+        # others keep capturing — a queue shorter than the burst would
+        # backpressure the capture pipe and drop samples in hardware
         return BlockSource(config, args, center_hz=start_hz,
                            sdr_settings=sdr_settings.get(i + 1),
+                           prefetch=max(2, mb + 1),
                            name=f"sdr_{i + 1}")
 
     def _process(block):

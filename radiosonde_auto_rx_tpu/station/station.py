@@ -488,8 +488,13 @@ class Station:
         S = step.n_conf_slots
         if len(cand) > S:
             order = np.argsort([cand_strength[c] for c in cand])[::-1]
-            log.warning("confirmation slots full: deferring %d of %d "
-                        "candidates to the next block",
+            # no cross-block deferral: channel ids are relative to
+            # this cycle's capture centers, which the scan scheduler may
+            # retune next cycle — a persistent signal is simply
+            # re-nominated by the next PSD scan's peaks
+            log.warning("confirmation slots full: dropping the %d "
+                        "weakest of %d candidates (re-nominated by the "
+                        "next scan if still present)",
                         len(cand) - S, len(cand))
             cand = [cand[i] for i in order[:S]]
         if cand:

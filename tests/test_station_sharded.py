@@ -12,8 +12,10 @@ import pytest
 from radiosonde_auto_rx_tpu.demod.modulate import gfsk_mod
 from radiosonde_auto_rx_tpu.ops.channelizer import channel_freqs
 from radiosonde_auto_rx_tpu.station.station import Station
-from tests.test_station_step import (_dfm_bits, _m10_bits, _m20_bits,
-                                     _rs41_bits, _taper)
+from station_fixture import (dfm_bits as _dfm_bits,
+                             m10_bits as _m10_bits,
+                             m20_bits as _m20_bits,
+                             rs41_bits as _rs41_bits, taper as _taper)
 
 N_CHAN = 16
 FS_WIDE = 768_000

@@ -245,3 +245,26 @@ def test_route_demod_masks_and_dropped(steps, routed):
     assert mask.sum() == 4                      # exactly the four sondes
     assert (ids[~mask] == -1).all()
     assert np.asarray(res8["dropped"]).sum() == 0
+
+
+def test_route_demod_bf16_planes_pad_experts():
+    """route_demod must trace with bf16 channel planes on a mesh whose
+    ch size does not divide the expert count (pad experts in play): the
+    pad/empty switch branches must emit f32 ebno like the real demod
+    branches (round-4 review finding — on TPU the channelizer ships
+    bf16 planes and an 8-way mesh pads 12 experts to 16; a bf16/f32
+    branch-type mismatch kills lax.switch at trace time)."""
+    mesh8 = make_mesh(n_ch=8, n_t=1)
+    step = ShardedStationStep(mesh8, n_chan=2, capacity=1,
+                              conf_capacity=1, frame_halo=0)
+    assert step.n_exp_pad > step.n_exp     # pad slots actually exist
+    C = 8 * 2
+    T = 48000
+    rng = np.random.default_rng(0)
+    chf = jnp.asarray(rng.standard_normal((C, 2, T)).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    exp_ids = np.full(C, -1, np.int32)
+    exp_ids[3] = EXPERT_TYPES.index("RS41")
+    res = step.route_demod(chf, jnp.asarray(exp_ids))
+    assert res["ebno"].dtype == jnp.float32
+    assert bool(res["mask"][EXPERT_TYPES.index("RS41")].any())
