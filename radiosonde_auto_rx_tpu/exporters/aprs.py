@@ -23,6 +23,10 @@ def telemetry_to_aprs_position(sonde_data, object_name="<id>",
             return None, None
     else:
         _object_name = object_name
+    # APRS object names are a FIXED 9-byte field: shorter ids must be
+    # space-padded or every subsequent fixed-position field shifts
+    # (reference aprs.py pads with ljust(9))
+    _object_name = _object_name[:9].ljust(9)
 
     if "f_centre" in sonde_data:
         _freq = "%.3f MHz" % (round(sonde_data["f_centre"] / 1e3) / 1e3)

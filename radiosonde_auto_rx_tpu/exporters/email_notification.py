@@ -83,11 +83,17 @@ class EmailNotification:
         ``landing_descent_trip`` consecutive frames within
         ``landing_range_threshold`` km of the station."""
         sid = telemetry["id"]
+        # expire stale sondes (flight < ~4 h; a long-running station
+        # would otherwise keep one GenericTrack per serial forever)
+        now = time.time()
+        for old in [k for k, v in self.sondes.items()
+                    if now - v["last_time"] > 6 * 3600]:
+            del self.sondes[old]
         st = self.sondes.setdefault(sid, dict(
             track=GenericTrack(), ascent_trip=False,
             descending_trip=0, descent_notified=False,
-            last_time=time.time()))
-        st["last_time"] = time.time()
+            last_time=now))
+        st["last_time"] = now
         state = st["track"].add_telemetry({
             "time": telemetry["datetime_dt"],
             "lat": telemetry["lat"], "lon": telemetry["lon"],

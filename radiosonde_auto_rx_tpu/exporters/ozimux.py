@@ -15,10 +15,13 @@ class OziUploader:
 
     def __init__(self, ozimux_port=None, payload_summary_port=None,
                  update_rate=5, station="radiosonde_auto_rx_tpu",
-                 ozimux_host="<broadcast>"):
+                 ozimux_host="<broadcast>", payload_summary_host=None):
         self.ozimux_port = ozimux_port
         self.payload_summary_port = payload_summary_port
         self.ozimux_host = ozimux_host
+        # chasemapper may live on a different machine than OziMux
+        # (reference config keys ozi_hostname vs payload_summary_hostname)
+        self.payload_summary_host = payload_summary_host or ozimux_host
         self.station = station
 
     @staticmethod
@@ -50,12 +53,12 @@ class OziUploader:
                 packet[f] = telemetry[f]
         return packet
 
-    def _send_udp(self, data: bytes, port: int):
+    def _send_udp(self, data: bytes, port: int, host=None):
         s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         s.setsockopt(socket.SOL_SOCKET, socket.SO_BROADCAST, 1)
         s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         try:
-            s.sendto(data, (self.ozimux_host, port))
+            s.sendto(data, (host or self.ozimux_host, port))
         except OSError:
             try:
                 s.sendto(data, ("127.0.0.1", port))
@@ -71,7 +74,8 @@ class OziUploader:
             self._send_udp(
                 json.dumps(self.make_payload_summary(telemetry)
                            ).encode("ascii"),
-                self.payload_summary_port)
+                self.payload_summary_port,
+                host=self.payload_summary_host)
 
     def close(self):
         pass

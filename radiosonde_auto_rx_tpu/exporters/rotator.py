@@ -34,6 +34,12 @@ class ROTCTLD:
             self.sock.sendall((command + "\n").encode())
             return self.sock.recv(1024).decode().strip()
         except OSError:
+            # drop the session so the update loop reconnects
+            try:
+                self.sock.close()
+            except OSError:
+                pass
+            self.sock = None
             return None
 
     def get_model(self):
@@ -97,6 +103,18 @@ class Rotator:
         while self.running:
             time.sleep(self.update_rate)
             try:
+                if self.rot.sock is None:
+                    # (re)connect lazily each cycle: rotctld may start
+                    # after the station, and a dropped TCP session must
+                    # not silently no-op every subsequent command
+                    # (reference connects in its update thread,
+                    # rotator.py:278-289)
+                    try:
+                        if not self.rot.connect():
+                            self.rot.close()
+                            continue
+                    except OSError:
+                        continue
                 if self.latest and \
                         time.time() - self.latest_time < self.homing_delay:
                     az, el = self.target_azel(self.latest)

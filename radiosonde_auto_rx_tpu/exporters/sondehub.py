@@ -152,6 +152,16 @@ class SondehubUploader:
             rate = min(30, int(self.upload_rate * 1.5)) \
                 if self.slower_uploads else self.upload_rate
             time.sleep(max(1, rate))
+            # listener position: on start and every 6 h (reference
+            # uploads the station position periodically so the receiver
+            # appears on the SondeHub map); best-effort + retried next
+            # cycle on failure
+            if self.user_position and (
+                    time.time() - getattr(self, "_last_pos_upload", 0)
+                    > 6 * 3600):
+                if self.station_position_upload(
+                        *self.user_position, antenna=self.user_antenna):
+                    self._last_pos_upload = time.time()
             self.process_queue()
 
     def process_queue(self):

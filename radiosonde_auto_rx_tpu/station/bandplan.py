@@ -150,6 +150,11 @@ class BandScheduler:
             self._scan_idx += 1
             self._last_scan_tick = self._tick
             return seg
+        if not decode_set:
+            # scanning disabled (web control / checkpoint restore) and
+            # no active decoder in this partition: nothing to chase —
+            # hold a stable center instead of crashing the loop
+            return segs[0]
         seg = decode_set[self._decode_idx % len(decode_set)]
         self._decode_idx += 1
         return seg

@@ -161,7 +161,8 @@ _SECTIONS = {
               "email_landing_altitude_threshold"),
     "search_params": ("min_freq", "max_freq", "min_freq2", "max_freq2",
                       "rx_timeout", "snr_threshold", "min_distance",
-                      "quantization", "scan_every"),
+                      "quantization", "scan_every", "only_scan",
+                      "never_scan", "always_scan", "always_decode"),
     "location": ("station_lat", "station_lon", "station_alt",
                  "station_code", "gpsd_enabled", "gpsd_host", "gpsd_port"),
     "filtering": ("max_altitude", "max_radius_km", "min_radius_km",

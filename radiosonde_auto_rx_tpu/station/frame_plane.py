@@ -116,6 +116,10 @@ class FramePlane:
         """Enqueue one channel's frame decode; returns a ticket."""
         ticket = self._next_ticket
         self._next_ticket += 1
+        # start (or fall back) FIRST: _ensure_started may discover that
+        # __main__ is not spawnable and set workers = 0 — the inline
+        # branch below must then handle THIS decode, not a later one
+        self._ensure_started()
         if self.workers == 0:
             st = self._decoders.get(fz)
             if st is None or st[0] != model_name:
@@ -125,7 +129,6 @@ class FramePlane:
             self._inline_results = getattr(self, "_inline_results", {})
             self._inline_results[ticket] = telems
             return ticket
-        self._ensure_started()
         self._inqs[self._route(fz)].put(
             ("decode", ticket, fz, model_name, kwargs, bits, soft))
         self._pending += 1

@@ -114,7 +114,8 @@ def build_exporters(config, web_exporter=None):
             if config.get("payload_summary_enabled") else None,
             update_rate=config["ozi_update_rate"],
             station=config["station_code"],
-            ozimux_host=config.get("ozi_host", "<broadcast>")))
+            ozimux_host=config.get("ozi_host", "<broadcast>"),
+            payload_summary_host=config.get("payload_summary_host")))
     if config.get("email_enabled"):
         from radiosonde_auto_rx_tpu.exporters.email_notification import \
             EmailNotification
@@ -212,6 +213,19 @@ class BlockSource:
         else:
             from radiosonde_auto_rx_tpu.sources.sdr_wrappers import \
                 get_sdr_iq_cmd
+            if self.settings["sdr_type"] == "KA9Q":
+                # create/tune the radiod channel BEFORE streaming it:
+                # pcmrecord only subscribes to the SSRC; without the
+                # `tune` call there is no channel to record (reference
+                # ka9q.py:16-81 always sets up first).  On failure the
+                # capture EOFs and run_station's retry path handles it.
+                from radiosonde_auto_rx_tpu.sources.ka9q import \
+                    ka9q_setup_channel
+                if not ka9q_setup_channel(
+                        self.settings.get("sdr_hostname", ""),
+                        self.center_hz, fs):
+                    log.error("%s: KA9Q channel setup failed at %.3f MHz",
+                              self.name, self.center_hz / 1e6)
             cmd = get_sdr_iq_cmd(
                 self.settings["sdr_type"], self.center_hz, fs,
                 rtl_device_idx=self.settings.get("rtl_device_idx", "0"),
@@ -513,7 +527,18 @@ def run_station(args, config) -> int:
                         try:
                             from radiosonde_auto_rx_tpu.sources. \
                                 sdr_wrappers import reset_sdr
-                            reset_sdr(config.get("sdr_type", "RTLSDR"))
+                            # reset THIS source's device: per-source
+                            # [sdr_N] settings carry its device
+                            # index/hostname — resetting the defaults
+                            # would power-cycle a healthy sibling SDR
+                            st_i = {**config,
+                                    **(sdr_settings.get(i + 1) or {})}
+                            reset_sdr(
+                                st_i.get("sdr_type", "RTLSDR"),
+                                rtl_device_idx=st_i.get(
+                                    "rtl_device_idx", "0"),
+                                sdr_hostname=st_i.get("sdr_hostname", ""),
+                                sdr_port=st_i.get("sdr_port", 5555))
                         except Exception:
                             log.exception("SDR reset failed")
                         time.sleep(min(2.0 * retries[i], 10.0))

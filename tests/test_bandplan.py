@@ -254,3 +254,18 @@ def test_scheduler_adaptive_scan_backoff():
     assert decode_visits == n
     # the internal scan counter really backed off (vs. n/scan_every)
     assert sched._scan_idx <= n / (4 * 4) + 2
+
+
+def test_scheduler_scan_disabled_no_actives_holds_center():
+    """Scanning disabled (web control / checkpoint restore) with no
+    active decoder must hold a stable center, not ZeroDivisionError
+    (round-4 review)."""
+    from radiosonde_auto_rx_tpu.station.bandplan import (BandPlan,
+                                                         BandScheduler)
+    plan = BandPlan(dict(min_freq=400.05, max_freq=406.0),
+                    capture_rate=2_400_000)
+    sched = BandScheduler(plan)
+    assert len(plan.segments) > 1
+    for _ in range(3):
+        seg = sched.next_center(active_freqs=(), scan_enabled=False)
+        assert seg is plan.segments[0]

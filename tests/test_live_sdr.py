@@ -430,3 +430,69 @@ def test_sustained_multi_source_no_sample_loss(tmp_path, monkeypatch):
     print(f"sustained drain headroom: {headroom:.2f}x real time "
           f"({n_src} sources, {n_blocks} blocks, wall {wall:.2f}s)")
     assert headroom > 1.0
+
+
+def test_ka9q_source_tunes_channel_before_streaming(tmp_path, monkeypatch):
+    """KA9Q capture must CREATE its radiod channel (`tune`) before
+    pcmrecord subscribes to the SSRC, and re-tune on every retune
+    (round-4 review: the setup call had no production caller, so
+    pcmrecord streamed a nonexistent channel).  Stub `tune` logs its
+    argv; stub `pcmrecord` emits the cs16 burst."""
+    st, col = _station()
+    burst = tmp_path / "burst.npy"
+    np.save(burst, _rs41_burst(float(st.freqs[7])))
+    tune_log = _install_stubs(tmp_path, burst, monkeypatch)
+
+    tune = tmp_path / "tune"
+    tune.write_text(textwrap.dedent(f"""\
+        #!{sys.executable}
+        import os, sys
+        with open(os.environ["RSX_FAKE_LOG"] + ".tune", "a") as f:
+            f.write(" ".join(sys.argv[1:]) + "\\n")
+        """))
+    tune.chmod(tune.stat().st_mode | stat.S_IEXEC)
+    pcm = tmp_path / "pcmrecord"
+    pcm.write_text(textwrap.dedent(f"""\
+        #!{sys.executable}
+        import os, sys
+        import numpy as np
+        x = np.load(os.environ["RSX_FAKE_BURST"])
+        fs = {FS_WIDE}
+        rng = np.random.default_rng(0)
+        T = int(fs * 2.2)
+        buf = (rng.standard_normal(T) +
+               1j * rng.standard_normal(T)).astype(np.complex64) * 0.002
+        buf[4096:4096 + len(x)] += x
+        i16 = np.empty(2 * T, np.int16)
+        i16[0::2] = np.clip(buf.real * 16384, -32767, 32767).astype(np.int16)
+        i16[1::2] = np.clip(buf.imag * 16384, -32767, 32767).astype(np.int16)
+        sys.stdout.buffer.write(i16.tobytes())
+        sys.stdout.buffer.flush()
+        """))
+    pcm.chmod(pcm.stat().st_mode | stat.S_IEXEC)
+
+    cfg = {"capture_rate": FS_WIDE, "sdr_type": "KA9Q",
+           "sdr_hostname": "radiod.test.local"}
+    src = BlockSource(cfg, _Args(), center_hz=CENTER1)
+    try:
+        center, block = src.read_block()
+        assert block is not None and center == CENTER1
+        # the channel-create happened, with the right freq + ssrc + host
+        tlog = (tune_log.parent / (tune_log.name + ".tune")).read_text()
+        lines = tlog.strip().splitlines()
+        assert len(lines) == 1
+        assert f"--frequency {int(CENTER1)}" in lines[0]
+        assert "--radio radiod.test.local" in lines[0]
+        assert "--mode iq" in lines[0]
+        # retune re-creates the channel at the new frequency
+        src.retune(CENTER2)
+        center2, block2 = src.read_block()
+        lines = (tune_log.parent / (tune_log.name + ".tune")
+                 ).read_text().strip().splitlines()
+        assert len(lines) == 2
+        assert f"--frequency {int(CENTER2)}" in lines[1]
+        # and the stream decodes through the station like any source
+        telems = st.process_capture(block)
+        assert any(t.get("id") == "L2468013" for t in telems)
+    finally:
+        src.close()

@@ -452,3 +452,31 @@ def test_email_nearby_landing_notification():
     # no duplicates
     en.add(frame(30, 400))
     assert len(sent) == 1
+
+
+def test_aprs_object_name_padded_to_9():
+    """APRS object names are a fixed 9-byte field: an 8-char serial must
+    be space-padded before the '*' or every later fixed-position field
+    shifts (round-4 review; reference aprs.py pads with ljust(9))."""
+    pkt, name = telemetry_to_aprs_position(
+        _telem(), object_name="<id>", aprs_comment="x")
+    assert name == "S1234567"
+    head, rest = pkt[1:].split("*", 1)
+    assert len(head) == 9 and head == "S1234567 "
+    assert rest[6] == "h"               # HHMMSS timestamp right after
+
+
+def test_config_scan_lists_parse():
+    """only_scan/never_scan/always_scan/always_decode must parse from
+    [search_params] (round-4 review: they were missing from _SECTIONS,
+    silently ignoring reference blacklist/whitelist configs)."""
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "station.cfg")
+        with open(p, "w") as f:
+            f.write("[search_params]\nnever_scan = 402.5, 403.2\n"
+                    "always_decode = 404.1\nonly_scan =\n")
+        cfg = read_auto_rx_config(p)
+    assert cfg["never_scan"] == [402.5, 403.2]
+    assert cfg["always_decode"] == [404.1]
+    assert cfg["only_scan"] == []
