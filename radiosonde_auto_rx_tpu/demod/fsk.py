@@ -539,14 +539,13 @@ def _fsk_demod_scan_buffered(cfg: FSKConfig, x: jnp.ndarray,
                                       (C, 2, cfg.n))
         buf = jnp.concatenate([buf[:, :, cfg.n:], chunk], axis=2)
         off = off + (out["nin_next"] - cfg.n)
-        # slack exhausted -> wrap back toward the buffer CENTER by a
-        # whole number of symbols (grid-aligned).  Each wrap is a clean
-        # multi-symbol slip that breaks at most the in-flight frame
-        # (decoders re-sync at the next header), so jumping ~slack/2
-        # instead of one symbol makes wrap events — and the frames they
-        # cost — ~4x rarer under sustained ppm offset.
-        wsym = cfg.ts if cfg.ts % 2 == 0 else 2 * cfg.ts
-        wrap = max(wsym, (off_max // (2 * wsym)) * wsym)
+        # slack exhausted -> wrap back toward the buffer CENTER
+        # (grid-aligned).  Each wrap is a clean multi-step slip that
+        # breaks at most the in-flight frame (decoders re-sync at the
+        # next header), so jumping ~slack/2 instead of one step makes
+        # wrap events — and the frames they cost — ~4x rarer under
+        # sustained ppm offset.
+        wrap = _slack_wrap(cfg.ts, half_ts, off_max)
         off = jnp.where(off > off_max, off - wrap, off)
         off = jnp.where(off < 0, off + wrap, off)
         off = jnp.clip(off, 0, off_max)
@@ -559,6 +558,22 @@ def _fsk_demod_scan_buffered(cfg: FSKConfig, x: jnp.ndarray,
     (buf, off, state), outs = jax.lax.scan(
         body, (buf0, off0, state), jnp.arange(n_blocks))
     return state, outs
+
+
+def _slack_wrap(ts: int, half_ts: int, off_max: int) -> int:
+    """Grid-aligned slack-wrap jump (~off_max/2).
+
+    ``off`` only ever moves in +-``half_ts`` steps, so the wrap MUST be
+    a multiple of ``half_ts`` or the post-wrap offset falls off the
+    masked-window grid and the channel would demodulate zeros forever.
+    For even ``ts`` the wrap is additionally a whole number of symbols
+    (a clean bit-clock-preserving slip).  For odd ``ts`` whole symbols
+    are generally NOT on the half_ts grid (e.g. ts=15, half_ts=7):
+    grid alignment wins — the frame decoders re-sync after any slip.
+    """
+    if ts % 2 == 0:
+        return max(ts, (off_max // (2 * ts)) * ts)
+    return max(half_ts, (off_max // (2 * half_ts)) * half_ts)
 
 
 def fsk_num_blocks_buffered(cfg: FSKConfig, t_samples: int,

@@ -130,13 +130,11 @@ class Prescreen:
         sdt = stream_dtype()
         x = x.astype(sdt)
 
+        from radiosonde_auto_rx_tpu.ops.fm import \
+            fm_discriminate_planes_mixed
+
         def discr(re, im):
-            rp = jnp.concatenate([re[..., :1], re[..., :-1]], axis=-1)
-            ip = jnp.concatenate([im[..., :1], im[..., :-1]], axis=-1)
-            wr = re * rp + im * ip
-            wi = im * rp - re * ip
-            return ((FM_GAIN / np.pi) * jnp.arctan2(
-                wi.astype(jnp.float32), wr.astype(jnp.float32))).astype(sdt)
+            return fm_discriminate_planes_mixed(re, im, sdt)
 
         # one strided filter-bank pass per distinct stride over the
         # stacked re/im rows (as scanner._condition, but emitting the

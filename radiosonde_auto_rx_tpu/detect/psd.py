@@ -159,7 +159,11 @@ def detect_peaks(x, mph=None, mpd=1, threshold=0.0):
     if rise.size and mph is not None:
         rise = rise[x[rise] >= mph]
     if rise.size and threshold > 0:
-        keep = np.array([x[i] - max(x[i - 1], x[i + 1]) > threshold
+        # a "peak" flagged at the very first/last sample has only one
+        # neighbor — compare against that neighbor alone rather than
+        # indexing out of bounds
+        keep = np.array([x[i] - max(x[max(i - 1, 0)],
+                                    x[min(i + 1, x.size - 1)]) > threshold
                          for i in rise])
         rise = rise[keep]
     if rise.size and mpd > 1:

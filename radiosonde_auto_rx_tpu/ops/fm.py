@@ -33,6 +33,21 @@ def fm_discriminate_planes(x: jnp.ndarray,
     return (gain / jnp.pi) * jnp.arctan2(wi, wr).astype(jnp.float32)
 
 
+def fm_discriminate_planes_mixed(re, im, out_dtype):
+    """FM discriminator on separate re/im rows with f32 arctan2 inputs
+    and a caller-chosen output dtype — the exact numerics of the
+    detector conditioning paths (bf16 streams on TPU, f32 elsewhere).
+    Shared by detect/scanner._condition and detect/prescreen (they
+    previously carried identical closures)."""
+    import numpy as np
+    rp = jnp.concatenate([re[..., :1], re[..., :-1]], axis=-1)
+    ip = jnp.concatenate([im[..., :1], im[..., :-1]], axis=-1)
+    wr = re * rp + im * ip
+    wi = im * rp - re * ip
+    return ((FM_GAIN / np.pi) * jnp.arctan2(
+        wi.astype(jnp.float32), wr.astype(jnp.float32))).astype(out_dtype)
+
+
 def iq_dc_removal(z: jnp.ndarray, alpha: float | None = None) -> jnp.ndarray:
     """Remove the complex DC term over the block (the reference's iq_dec
     --dc / dft_detect --dc stage, scan/dft_detect.c:546-591 uses a 0.98

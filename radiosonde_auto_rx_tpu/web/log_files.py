@@ -58,25 +58,27 @@ def read_log_file(filename: str, decimation: int = 1) -> dict:
             fields = line.strip().split(",")
             if len(fields) < 14:
                 continue
+            # parse the WHOLE line before appending anything: a
+            # mid-line ValueError must skip the line, not leave the
+            # column arrays at different lengths (misaligned columns
+            # crash skew-T and mis-place snr-map samples)
             try:
-                out["time"].append(fields[0])
-                out["serial"] = fields[1]
-                out["lat"].append(float(fields[3]))
-                out["lon"].append(float(fields[4]))
-                out["alt"].append(float(fields[5]))
-                out["vel_v"].append(float(fields[6]))
-                out["vel_h"].append(float(fields[7]))
-                out["heading"].append(float(fields[8]))
-                out["temp"].append(float(fields[9]))
-                out["humidity"].append(float(fields[10]))
-                out["pressure"].append(float(fields[11]))
-                out["type"] = fields[12]
-                if len(fields) > 16:
-                    out["sats"].append(float(fields[16]))
-                if len(fields) > 14:
-                    out["snr"].append(float(fields[14]))
+                vals = [float(fields[j]) for j in range(3, 12)]
+                sats = float(fields[16]) if len(fields) > 16 else None
+                snr = float(fields[14]) if len(fields) > 14 else None
             except ValueError:
                 continue
+            out["time"].append(fields[0])
+            out["serial"] = fields[1]
+            for key, v in zip(("lat", "lon", "alt", "vel_v", "vel_h",
+                               "heading", "temp", "humidity",
+                               "pressure"), vals):
+                out[key].append(v)
+            out["type"] = fields[12]
+            if sats is not None:
+                out["sats"].append(sats)
+            if snr is not None:
+                out["snr"].append(snr)
     return out
 
 
@@ -145,7 +147,9 @@ def log_file_to_kml(filename: str) -> str:
     coords = "\n".join("%.5f,%.5f,%.1f" % (lon, lat, alt)
                        for lat, lon, alt in zip(data["lat"], data["lon"],
                                                 data["alt"]))
-    name = data["serial"] or os.path.basename(filename)
+    from xml.sax.saxutils import escape
+    # the serial is over-the-air data: escape it like telemetry_to_kml
+    name = escape(data["serial"] or os.path.basename(filename))
     return ('<?xml version="1.0" encoding="UTF-8"?>\n'
             '<kml xmlns="http://www.opengis.net/kml/2.2"><Document>'
             f'<Placemark><name>{name}</name><LineString>'

@@ -230,7 +230,8 @@ class WebServer:
                     from radiosonde_auto_rx_tpu.web.log_files import \
                         list_log_files
                     self._send(json.dumps(list_log_files(
-                        outer.config.get("log_directory", "./log/")),
+                        outer.config.get("log_directory", "./log/"),
+                        quicklook=True),
                         default=str))
                 elif path in ("/rs.kml", "/rs_feed.kml"):
                     self._send(telemetry_to_kml(outer.web_exporter.archive()),
@@ -238,15 +239,23 @@ class WebServer:
                 elif path == "/get_station_stats":
                     self._send(json.dumps(outer.station_stats()))
                 elif path == "/get_log_lines":
-                    n = int(self._qs().get("n", ["100"])[0])
+                    try:
+                        n = int(self._qs().get("n", ["100"])[0])
+                    except ValueError:
+                        return self._send(
+                            json.dumps({"error": "bad n"}), code=400)
                     lines = outer.log_handler.tail(n) \
                         if outer.log_handler else []
                     self._send(json.dumps({"log_lines": lines}))
                 elif path == "/get_log_detail":
+                    try:
+                        dec = int(self._qs().get("decimation", ["5"])[0])
+                    except ValueError:
+                        return self._send(
+                            json.dumps({"error": "bad decimation"}),
+                            code=400)
                     self._log_route(lambda f: json.dumps(
-                        _read_log(f, int(self._qs().get("decimation",
-                                                        ["5"])[0])),
-                        default=str))
+                        _read_log(f, dec), default=str))
                 elif path == "/get_skewt_data":
                     from radiosonde_auto_rx_tpu.web.log_files import \
                         calculate_skewt_data
@@ -329,7 +338,12 @@ class WebServer:
                     self.wfile.flush()
 
                 t_seq = 0
-                log_seen = 0
+                # start at the current cursor: the page already fetched
+                # the recent tail via /get_log_lines, so replaying the
+                # whole ring here would duplicate every line (and again
+                # on each SSE reconnect)
+                log_seen = outer.log_handler.total \
+                    if outer.log_handler is not None else 0
                 scan_ts = None
                 try:
                     emit("hello", {"ok": True})
@@ -429,3 +443,4 @@ class WebServer:
         self._server.shutdown()
         if self._thread:
             self._thread.join(timeout=2)
+        self._server.server_close()    # release the listening socket

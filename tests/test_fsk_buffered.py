@@ -137,3 +137,19 @@ def test_wrap_frame_loss_rate_under_sustained_ppm():
     telems = case.decode(np.asarray(bits), np.asarray(soft))
     rx = {t.get("frame") for t in telems} & case.tx_ids
     assert len(rx) >= 57, f"{len(rx)}/60 frames under 75 ppm"
+
+
+def test_slack_wrap_stays_on_offset_grid():
+    """The slack wrap must be a multiple of half_ts for EVERY ts — an
+    off-grid wrap leaves the buffered scan's masked window select
+    matching nothing, silently demodulating zeros (round-4 review:
+    2*ts is off-grid whenever ts is odd and ts//2 > 2)."""
+    from radiosonde_auto_rx_tpu.demod.fsk import _slack_wrap
+    for ts in range(2, 64):
+        half = max(1, ts // 2)
+        off_max = (8 * ts // half) * half
+        w = _slack_wrap(ts, half, off_max)
+        assert w % half == 0, (ts, half, w)
+        assert 0 < w <= off_max, (ts, half, w, off_max)
+        if ts % 2 == 0:
+            assert w % ts == 0                 # whole-symbol slip kept

@@ -342,8 +342,14 @@ def test_sse_stream(tmp_path):
         r = urllib.request.urlopen(
             f"http://127.0.0.1:{web.port}/events", timeout=10)
         assert r.headers["Content-Type"].startswith("text/event-stream")
+        # pre-connect backlog is NOT replayed over SSE (the page fetches
+        # it via /get_log_lines; replay duplicated every line) — only
+        # lines logged after the stream opens are pushed.  Log the new
+        # line after the server's "hello" event so it is provably past
+        # the stream's cursor initialization.
         events = {}
         deadline = time.time() + 10
+        logged = False
         while time.time() < deadline and not (
                 "telemetry" in events and "log" in events
                 and "status" in events):
@@ -353,10 +359,20 @@ def test_sse_stream(tmp_path):
                 data = r.readline().decode().strip()
                 assert data.startswith("data: ")
                 events[ev] = json.loads(data[6:])
+                if not logged:
+                    lg.info("hello after connect")
+                    logged = True
         assert "S7654321" in events["telemetry"]
-        assert any("hello from the station" in ln
+        assert any("hello after connect" in ln
                    for ln in events["log"]["log_lines"])
+        assert not any("hello from the station" in ln
+                       for ln in events["log"]["log_lines"])
         assert "version" in events["status"]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{web.port}/get_log_lines",
+                timeout=10) as lr:
+            backlog = json.loads(lr.read())["log_lines"]
+        assert any("hello from the station" in ln for ln in backlog)
         r.close()
     finally:
         web.close()
