@@ -99,12 +99,14 @@ def bits_to_bytes_be(bits01: np.ndarray) -> np.ndarray:
 def bytes_to_bits_le(data: np.ndarray) -> np.ndarray:
     """Unpack bytes to bits, LSB-first (encoder fixture direction)."""
     data = np.asarray(data, dtype=np.uint8)
-    return ((data[:, None] >> np.arange(8)[None, :]) & 1).reshape(-1)
+    return ((data[:, None] >> np.arange(8)[None, :]) & 1
+            ).reshape(-1).astype(np.uint8)
 
 
 def bytes_to_bits_be(data: np.ndarray) -> np.ndarray:
     data = np.asarray(data, dtype=np.uint8)
-    return ((data[:, None] >> np.arange(7, -1, -1)[None, :]) & 1).reshape(-1)
+    return ((data[:, None] >> np.arange(7, -1, -1)[None, :]) & 1
+            ).reshape(-1).astype(np.uint8)
 
 
 def extract_frame_bits(bits01: np.ndarray, start: int, n_bits: int,

@@ -29,7 +29,6 @@ class RSCode:
 
     def __post_init__(self):
         R = self.n - self.k
-        g = np.zeros(1, dtype=np.int64)
         g = np.array([1], dtype=np.int64)
         for i in range(R):
             root = self.gf.pow_beta(self.b + i)
@@ -71,7 +70,6 @@ class RSCode:
         R = self.r
         if self._enc_basis is None:
             basis = np.zeros((self.k, R), dtype=np.int64)
-            rem = np.zeros(R, dtype=np.int64)   # X^R mod g, built upward
             cur = np.zeros(R, dtype=np.int64)
             # cur = X^{R+i} mod g via repeated multiply-by-X reduction
             cur[0] = 1                           # start at X^0... shifted

@@ -31,11 +31,16 @@ _MODEL_MODULES = [
 
 def _load_all():
     import importlib
+    import logging
     for mod in _MODEL_MODULES:
         try:
             importlib.import_module(f"radiosonde_auto_rx_tpu.models.{mod}")
         except ImportError:
-            pass
+            # keep the rest of the registry usable, but NEVER silently:
+            # a swallowed failure here makes a whole sonde family vanish
+            logging.getLogger("models").exception(
+                "model module %r failed to import — its sonde types "
+                "will be unavailable", mod)
 
 
 def get_model(name: str):

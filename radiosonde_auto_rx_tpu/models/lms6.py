@@ -40,16 +40,8 @@ def _sync_raw_bits():
     return conv_encode(bits)
 
 
-def bytes_to_bits_le(data):
-    data = np.asarray(data, dtype=np.uint8)
-    return ((data[:, None] >> np.arange(8)[None, :]) & 1
-            ).reshape(-1).astype(np.uint8)
-
-
-def bits_to_bytes_le(bits):
-    n = len(bits) // 8 * 8
-    return (bits[:n].reshape(-1, 8) << np.arange(8)[None, :]
-            ).sum(axis=1).astype(np.uint8)
+from radiosonde_auto_rx_tpu.demod.framing import (  # noqa: E402
+    bits_to_bytes_le, bytes_to_bits_le)
 
 
 BLK_SYNCBITS = _sync_raw_bits()

@@ -69,16 +69,8 @@ def bits_to_raw(b):
     return out
 
 
-def bits_to_bytes_be(bits):
-    n = (len(bits) // 8) * 8
-    return (bits[:n].reshape(-1, 8) <<
-            np.arange(7, -1, -1)[None, :]).sum(axis=1).astype(np.uint8)
-
-
-def bytes_to_bits_be(data):
-    data = np.asarray(data, dtype=np.uint8)
-    return ((data[:, None] >> np.arange(7, -1, -1)[None, :]) & 1
-            ).reshape(-1).astype(np.uint8)
+from radiosonde_auto_rx_tpu.demod.framing import (  # noqa: E402
+    bits_to_bytes_be, bytes_to_bits_be)
 
 
 # --------------------------------------------------------------------------- #
@@ -336,7 +328,6 @@ class M10Decoder:
     @staticmethod
     def _temp(frame):
         scT = int(frame[0x3E])
-        adc = (_be(frame, 0x40, 1) << 8 | _be(frame, 0x3F, 1)) - 0xA000
         adc = ((int(frame[0x40]) << 8) | int(frame[0x3F])) - 0xA000
         if adc <= 0 or scT >= 3:
             return -273.15

@@ -149,8 +149,19 @@ def _nu(t, t0, y0):
     return 1.0 / den if den != 0.0 else 0.0
 
 
-def unpack_prns(frame):
-    """12 PRNs from 4 u16 LE words, 15+1-bit layout (rs92mod.c:777-812)."""
+def unpack_prns(frame, prn32toggle: int = 0x1):
+    """12 PRNs from 4 u16 LE words, 15+1-bit layout (rs92mod.c:777-812).
+
+    Returns (prns, status, prn32toggle').  ``prn32toggle`` is the
+    persistent PRN-32 follower state (rs92mod.c:812-842): when slot i
+    holds PRN 32 (columns 0/1), the overflow flag that marks it is the
+    LSB of the NEXT slot's 5-bit field, so the next slot's PRN is
+    transmitted with its LSB borrowed.  The decoder keeps a one-bit
+    guess of that borrow, flipping it whenever the corrected PRN would
+    collide with another tracked PRN in the same frame, and XORs it
+    into the following slot.  Without this, a frame tracking PRN 32
+    pairs the next slot's pseudorange with the wrong satellite.
+    """
     prn_le = np.zeros(64, dtype=np.uint8)
     for blk in range(4):
         w = _u2(frame, POS_GPS_PRN + 2 * blk)
@@ -162,15 +173,26 @@ def unpack_prns(frame):
     for i in range(12):
         prns[i] = int((prn_le[5 * i:5 * i + 5]
                        << np.arange(5)).sum())
+    ind_prn32 = 32
     for i in range(12):
         if prns[i] == 0 and (int(status[i]) & 0x0F):
             # PRN-32 stored as 0 with the per-column overflow bit set
             if ((i % 3 == 2 and prn_le[60 + i // 3])
                     or (i % 3 != 2 and prn_le[5 * (i + 1)])):
                 prns[i] = 32
+                ind_prn32 = i
         elif (int(status[i]) & 0x0F) == 0:
             prns[i] = 0
-    return prns, status
+    if ind_prn32 < 11 and ind_prn32 % 3 != 2:
+        nxt = ind_prn32 + 1
+        if (int(status[nxt]) & 0x0F) and prns[nxt] > 1:
+            others = [j for j in range(12)
+                      if j not in (ind_prn32, nxt)
+                      and (int(status[j]) & 0x0F)]
+            if any(prns[j] == (prns[nxt] ^ prn32toggle) for j in others):
+                prn32toggle ^= 0x1
+            prns[nxt] ^= prn32toggle
+    return prns, status, prn32toggle
 
 
 def pack_prns(frame, prns, status):
@@ -453,7 +475,8 @@ class RS92Decoder:
 
     def _solve_gps(self, frame, tow_ms):
         t = tow_ms / 1000.0
-        prns, status = unpack_prns(frame)
+        prns, status, self._prn32toggle = unpack_prns(
+            frame, getattr(self, "_prn32toggle", 0x1))
         sats = []     # (prn, pos, clock_corr, vel, chips, deltachips)
         week = None
         seen = set()

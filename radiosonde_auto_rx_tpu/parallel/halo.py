@@ -18,6 +18,8 @@ def halo_exchange_left(x: jnp.ndarray, halo: int, axis_name: str):
 
     x: [..., T_local]  ->  [..., halo + T_local]
     """
+    if halo == 0:
+        return x            # x[..., -0:] would be the WHOLE shard
     n = lax.psum(1, axis_name)
     idx = lax.axis_index(axis_name)
     tail = x[..., -halo:]
@@ -36,6 +38,8 @@ def halo_exchange_right(x: jnp.ndarray, halo: int, axis_name: str):
 
     x: [..., T_local]  ->  [..., T_local + halo]
     """
+    if halo == 0:
+        return x
     n = lax.psum(1, axis_name)
     idx = lax.axis_index(axis_name)
     head = x[..., :halo]

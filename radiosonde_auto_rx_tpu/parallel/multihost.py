@@ -38,9 +38,16 @@ def initialize(coordinator_address: str | None = None,
     On Cloud TPU pods all arguments come from the environment; on other
     fabrics pass coordinator/num_processes/process_id explicitly.  Safe
     to call when already initialized (no-op) or single-process (no-op
-    when no coordinator can be inferred)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    when no coordinator can be inferred).
+
+    NOTE: must run before ANY other jax call — even
+    ``jax.process_count()`` initializes the local backend, after which
+    ``jax.distributed.initialize`` unconditionally raises (round-4
+    review: an earlier already-initialized guard built on process_count
+    made this function a guaranteed silent no-op)."""
+    from jax._src import distributed as _dist
+    if _dist.global_state.client is not None:
+        return  # already initialized (inspecting state makes no jax call)
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,
@@ -54,7 +61,7 @@ def initialize(coordinator_address: str | None = None,
     except (ValueError, RuntimeError) as e:
         if coordinator_address is not None:
             raise
-        log.debug("single-process mode (%s)", e)
+        log.warning("multihost: running single-process (%s)", e)
 
 
 def global_mesh(n_t: int = 1):

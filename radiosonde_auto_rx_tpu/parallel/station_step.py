@@ -250,6 +250,13 @@ class ShardedStationStep:
             dc = jnp.mean(chf, axis=-1, keepdims=True) * 0.98
             if single:
                 ratios = prescreen.template_ratios(chf - dc)
+            elif n_t == 1:
+                # no t-seams: the halo would be pure zero-padding (same
+                # reasoning as the channelizer fast path above); the
+                # trivial pmax still establishes t-replication for the
+                # out_specs check
+                ratios = prescreen.template_ratios(chf - dc)
+                ratios = jax.lax.pmax(ratios, T_AXIS)
             else:
                 chx = halo_exchange_left(
                     (chf - dc).reshape(C_l * 2, T_l // N), det_halo,

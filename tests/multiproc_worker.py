@@ -44,8 +44,13 @@ def main():
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     import jax
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=nproc, process_id=pid)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    # production multi-host entry (parallel/multihost.py): must succeed
+    # BEFORE any backend-initializing jax call
+    from radiosonde_auto_rx_tpu.parallel import multihost
+    multihost.initialize(coordinator_address=coordinator,
+                         num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc
     assert len(jax.devices()) == 4 * nproc
 

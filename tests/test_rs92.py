@@ -218,3 +218,52 @@ def test_soft_combining_beats_second_bit(ephs):
     assert _decoder(ephs).decode_bits(hard) == []
     telems = _decoder(ephs).decode_bits(hard, soft)
     assert telems and abs(telems[0]["lat"] - LAT) < 5e-4
+
+
+def test_prn32_overflow_corrects_following_slot():
+    """A frame tracking PRN 32 (5-bit field 0 + overflow bit) borrows
+    the LSB of the NEXT slot's PRN field as the overflow marker; the
+    decoder's persistent toggle must recover the next slot's true PRN,
+    flipping when the naive correction collides with another tracked
+    PRN (rs92mod.c:798-842)."""
+    import numpy as np
+    from radiosonde_auto_rx_tpu.models.rs92 import (
+        POS_GPS_PRN, POS_GPS_STATUS, unpack_prns)
+
+    def build(prn_fields, status):
+        prn_le = np.zeros(64, np.uint8)
+        for i, v in enumerate(prn_fields):
+            for j in range(5):
+                prn_le[5 * i + j] = (v >> j) & 1
+        frame = np.zeros(256, np.uint8)
+        for blk in range(4):
+            w = 0
+            for i in range(15):
+                w |= int(prn_le[15 * blk + i]) << i
+            w |= int(prn_le[60 + blk]) << 15
+            frame[POS_GPS_PRN + 2 * blk] = w & 0xFF
+            frame[POS_GPS_PRN + 2 * blk + 1] = w >> 8
+        frame[POS_GPS_STATUS:POS_GPS_STATUS + 12] = status
+        return frame
+
+    status = np.full(12, 0x05, np.uint8)
+    # slot 0 = PRN 32 (field 0); slot 1's field LSB doubles as the
+    # overflow marker, so true PRN 9 (0b01001) transmits as 9 with the
+    # marker bit set; remaining slots arbitrary distinct PRNs
+    fields = [0, 9, 3, 4, 5, 6, 7, 10, 11, 12, 13, 14]
+    prns, st, tog = unpack_prns(build(fields, status), 0x1)
+    assert prns[0] == 32
+    # no tracked PRN equals 9^1=8 -> toggle stays 1, slot 1 reads 8
+    assert tog == 0x1 and prns[1] == 8
+
+    # now make PRN 8 already tracked elsewhere: 9^1 collides -> the
+    # toggle flips to 0 and slot 1 keeps its raw value 9
+    fields2 = [0, 9, 8, 4, 5, 6, 7, 10, 11, 12, 13, 14]
+    prns2, _, tog2 = unpack_prns(build(fields2, status), 0x1)
+    assert prns2[0] == 32
+    assert tog2 == 0x0 and prns2[1] == 9
+
+    # no PRN-32 in frame: toggle passes through untouched
+    fields3 = [1, 9, 8, 4, 5, 6, 7, 10, 11, 12, 13, 14]
+    prns3, _, tog3 = unpack_prns(build(fields3, status), 0x0)
+    assert prns3[0] == 1 and tog3 == 0x0
