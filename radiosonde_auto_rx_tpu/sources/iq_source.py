@@ -54,9 +54,30 @@ def f32c_to_planes(buf: bytes) -> np.ndarray:
     return np.ascontiguousarray(raw.reshape(-1, 2).T)
 
 
+def cu8_to_planes_raw(buf: bytes) -> np.ndarray:
+    """rtl_sdr unsigned 8-bit IQ → RAW uint8 [2, T] planes (no float
+    conversion).  The device casts and applies the (x-127.5)/128 wire
+    scale on-chip (Station._wide_planes) — shipping the native wire
+    width quarters host→device transfer vs float32."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    return np.ascontiguousarray(raw.reshape(-1, 2).T)
+
+
+def cs16_to_planes_raw(buf: bytes) -> np.ndarray:
+    """Signed 16-bit IQ → RAW int16 [2, T] planes; the 1/32768 wire
+    scale is applied on-device (exact power of two: bit-identical to
+    the host-side float conversion)."""
+    raw = np.frombuffer(buf, dtype="<i2")
+    return np.ascontiguousarray(raw.reshape(-1, 2).T)
+
+
 _CONVERTERS = {"cu8": (cu8_to_planes, 2),
                "cs16": (cs16_to_planes, 4),
-               "f32c": (f32c_to_planes, 8)}
+               "f32c": (f32c_to_planes, 8),
+               # native-width variants: planes keep the wire dtype and
+               # the scale/offset is applied on-device
+               "cu8raw": (cu8_to_planes_raw, 2),
+               "cs16raw": (cs16_to_planes_raw, 4)}
 
 
 def open_pumped(stream, capacity: int = 1 << 22, timeout_ms: int = -1):
@@ -92,7 +113,9 @@ class IQStreamSource:
         self.convert, self.bytes_per_sample = _CONVERTERS[fmt]
         self.block_samples = block_samples
         self.overlap = overlap
-        self._tail = np.zeros((2, overlap), np.float32)
+        tail_dt = {"cu8raw": np.uint8, "cs16raw": np.int16}.get(
+            fmt, np.float32)
+        self._tail = np.zeros((2, overlap), tail_dt)
         self.samples_read = 0
 
     def read_block(self, partial: bool = False):

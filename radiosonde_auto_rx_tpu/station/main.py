@@ -206,10 +206,15 @@ class BlockSource:
             IQStreamSource, open_pumped)
         fs = int(self.config["capture_rate"])
         block = int(fs * self.args.block_seconds)
+        # SDR wire formats ship at native width (int16/uint8 planes);
+        # the station applies the wire scale on-device — halves (cs16)
+        # or quarters (cu8) every host->device block transfer
+        raw_fmt = {"cs16": "cs16raw", "cu8": "cu8raw"}
         if self.args.replay:
             self._file = open(self.args.replay, "rb")
             stream = self._file
-            fmt = self.args.replay_format
+            fmt = raw_fmt.get(self.args.replay_format,
+                              self.args.replay_format)
         else:
             from radiosonde_auto_rx_tpu.sources.sdr_wrappers import \
                 get_sdr_iq_cmd
@@ -240,7 +245,7 @@ class BlockSource:
                                          stdout=subprocess.PIPE,
                                          start_new_session=True)
             stream = open_pumped(self.proc.stdout)
-            fmt = "cs16"
+            fmt = raw_fmt["cs16"]
         self.src = IQStreamSource(stream, fmt=fmt, block_samples=block)
         self._start_reader()
 
@@ -418,7 +423,8 @@ def run_station(args, config) -> int:
     def _process(block):
         if forced_chan is not None:
             from radiosonde_auto_rx_tpu.ops.channelizer import channelize
-            ch = channelize(block, station.n_chan, station.pfb_taps)
+            ch = channelize(station._wide_planes(block),
+                            station.n_chan, station.pfb_taps)
             if args.sonde_type:
                 return station.decode_channel(
                     ch[forced_chan], forced_chan, args.sonde_type)

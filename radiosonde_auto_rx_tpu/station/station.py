@@ -235,10 +235,18 @@ class Station:
             x = np.asarray(x)
             return jnp.asarray(
                 np.stack([x.real, x.imag]).astype(np.float32))
-        x = jnp.asarray(x)
+        x = jnp.asarray(x)      # native-width planes transfer as-is
         if jnp.iscomplexobj(x):
             return jnp.stack([x.real, x.imag]).astype(jnp.float32)
         assert x.ndim == 2 and x.shape[0] == 2, "expect [2, T] planes"
+        if x.dtype == jnp.int16:
+            # cs16 wire scale ON-DEVICE (exact power of two — value-
+            # identical to the host-side /32768.0 float conversion);
+            # shipping int16 halves host→device transfer
+            return x.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        if x.dtype == jnp.uint8:
+            # rtl_sdr cu8: (x - 127.5)/128, as the reference decoders
+            return (x.astype(jnp.float32) - 127.5) * jnp.float32(1 / 128)
         return x.astype(jnp.float32)
 
     def scan(self, wideband_iq) -> list:

@@ -165,8 +165,9 @@ def test_subprocess_capture_to_telemetry(tmp_path, monkeypatch):
         assert center == CENTER1
         assert block is not None and block.shape[0] == 2
         assert block.shape[1] == int(FS_WIDE * _Args.block_seconds)
-        # wire conversion really happened: cs16 → float32 planes in range
-        assert block.dtype == np.float32 and np.abs(block).max() <= 1.0
+        # native-width wire planes: cs16 ships as int16; the 1/32768
+        # scale happens on-device in Station._wide_planes
+        assert block.dtype == np.int16
 
         telems = st.process_capture(block)
         assert telems, "no telemetry decoded via the subprocess path"
@@ -403,7 +404,8 @@ def test_sustained_multi_source_no_sample_loss(tmp_path, monkeypatch):
                 if block is None:
                     done[i] = True
                     continue
-                hdr = np.asarray(block[0, :3]) * 32768.0
+                # blocks ship as raw int16 wire planes now
+                hdr = np.asarray(block[0, :3], np.float64)
                 assert round(float(hdr[0])) == 12345, \
                     f"src {i}: block not marker-aligned ({hdr})"
                 assert round(float(hdr[2])) == i

@@ -51,7 +51,12 @@ def test_replay_blocks_match_sync_reads(tmp_path):
 
     assert len(got) == len(want) == 3
     for g, w in zip(got, want):
-        np.testing.assert_array_equal(g, w)
+        # BlockSource ships native-width int16 planes; the 1/32768
+        # wire scale (exact power of two) is applied on-device —
+        # value-identical to the synchronous f32 conversion
+        assert g.dtype == np.int16
+        np.testing.assert_array_equal(
+            g.astype(np.float32) / 32768.0, w)
 
 
 def test_eof_is_sticky(tmp_path):
@@ -99,7 +104,7 @@ def test_retune_restarts_capture_and_retags(tmp_path, monkeypatch):
     assert center == pytest.approx(404.0e6) and b2 is not None
     # capture restarted: the first post-retune block is the file's FIRST
     # block again (fresh cat), not a continuation
-    first = raw[:2 * block].astype(np.float32).reshape(-1, 2).T / 32768.0
-    np.testing.assert_allclose(np.asarray(b2), first, rtol=0, atol=1e-6)
+    first = raw[:2 * block].reshape(-1, 2).T
+    np.testing.assert_array_equal(np.asarray(b2), first)
     assert calls == [402.5e6, 404.0e6]
     src.close()

@@ -197,3 +197,29 @@ def test_spyserver_power_cmd(monkeypatch, tmp_path):
     assert "-r sshost" in seen["cmd"] and "-q 5555" in seen["cmd"]
     assert "-o" in seen["cmd"].split()
     assert freq is not None and len(power) == 3
+
+
+def test_native_width_planes_value_identical():
+    """int16/uint8 wire planes scaled ON-DEVICE must equal the host-side
+    float conversions bit-for-bit (the scales are exact powers of two),
+    so shipping native width changes transfer size only."""
+    import numpy as np
+    from radiosonde_auto_rx_tpu.sources.iq_source import (
+        cs16_to_planes, cs16_to_planes_raw, cu8_to_planes,
+        cu8_to_planes_raw)
+    from radiosonde_auto_rx_tpu.station.station import Station
+
+    rng = np.random.default_rng(0)
+    buf16 = rng.integers(-32768, 32768, 4096, np.int16).tobytes()
+    f32 = cs16_to_planes(buf16)
+    i16 = cs16_to_planes_raw(buf16)
+    assert i16.dtype == np.int16
+    dev = np.asarray(Station._wide_planes(i16))
+    np.testing.assert_array_equal(dev, f32)
+
+    buf8 = rng.integers(0, 256, 4096, np.int64).astype(np.uint8).tobytes()
+    f32u = cu8_to_planes(buf8)
+    u8 = cu8_to_planes_raw(buf8)
+    assert u8.dtype == np.uint8
+    devu = np.asarray(Station._wide_planes(u8))
+    np.testing.assert_array_equal(devu, f32u)
