@@ -112,5 +112,9 @@ def bch_decode(cw):
                 cw[(N - int(r)) % N] ^= 1
             if _syndrome(cw, 1) == 0 and _syndrome(cw, 3) == 0:
                 return cw, 2
+            # recheck failed (>2 errors): undo the speculative flips so
+            # the returned codeword is never WORSE than the input
+            for r in roots:
+                cw[(N - int(r)) % N] ^= 1
         return cw, -1
     return cw, -1

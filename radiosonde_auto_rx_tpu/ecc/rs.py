@@ -171,7 +171,6 @@ class RSCode:
             grow = upd & (2 * L <= r_it + rho)
             # shift = x^m * B
             coef = gf.div(delta, bval)               # delta/b
-            xmB = np.zeros_like(Lam)
             # x^m shift with per-row m: gather-based shift
             idx = np.arange(R + 1)
             src = idx[None, :] - m.reshape(-1, 1)    # flatten batch

@@ -67,13 +67,16 @@ def viterbi_decode(soft_pairs):
     (~400x over the per-step numpy loop); the numpy path below is the
     reference implementation and fallback.
     """
-    from radiosonde_auto_rx_tpu import native
-    if native.available():
-        return native.viterbi_k7(soft_pairs)
+    # the short-input guard must run BEFORE native dispatch so both
+    # builds return the same result (the native path would emit T bits
+    # for T < L where the reference numpy path emits none)
     s = np.asarray(soft_pairs, dtype=np.float64)
     T = len(s) // 2
     if T < L:
         return np.zeros(0, dtype=np.uint8)
+    from radiosonde_auto_rx_tpu import native
+    if native.available():
+        return native.viterbi_k7(soft_pairs)
     sA = s[0:2 * T:2]
     sB = s[1:2 * T:2]
 

@@ -184,20 +184,28 @@ class RingBuffer:
         self.capacity = capacity
 
     def start_pump(self, fd: int):
-        if self._lib.rsx_rb_start_pump(self._h, fd) != 0:
+        if self._lib.rsx_rb_start_pump(self._handle(), fd) != 0:
             raise RuntimeError("pump already running")
         return self
 
+    def _handle(self):
+        # a closed buffer must raise in Python, not pass NULL into C
+        # (a NULL RsxRing* dereference takes down the whole station)
+        if self._h is None:
+            raise ValueError("RingBuffer is closed")
+        return self._h
+
     def write(self, data: bytes) -> int:
         buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
-        return self._lib.rsx_rb_write(self._h, buf, len(data))
+        return self._lib.rsx_rb_write(self._handle(), buf, len(data))
 
     def close_write(self):
-        self._lib.rsx_rb_close_write(self._h)
+        self._lib.rsx_rb_close_write(self._handle())
 
     def read(self, want: int, timeout_ms: int = -1) -> bytes:
         out = np.empty(want, np.uint8)
-        n = self._lib.rsx_rb_read(self._h, _as_ptr(out, ctypes.c_uint8),
+        n = self._lib.rsx_rb_read(self._handle(),
+                                  _as_ptr(out, ctypes.c_uint8),
                                   want, timeout_ms)
         return out[:n].tobytes()
 
@@ -214,13 +222,13 @@ class RingBuffer:
 
     @property
     def eof(self) -> bool:
-        return bool(self._lib.rsx_rb_eof(self._h))
+        return bool(self._lib.rsx_rb_eof(self._handle()))
 
     def available(self) -> int:
-        return int(self._lib.rsx_rb_available(self._h))
+        return int(self._lib.rsx_rb_available(self._handle()))
 
     def total_in(self) -> int:
-        return int(self._lib.rsx_rb_total_in(self._h))
+        return int(self._lib.rsx_rb_total_in(self._handle()))
 
     def close(self):
         if self._h:

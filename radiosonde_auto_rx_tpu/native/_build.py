@@ -21,8 +21,13 @@ def build(force: bool = False) -> Path | None:
     if building is disabled or fails (callers fall back to NumPy)."""
     if os.environ.get("RSX_NATIVE_BUILD", "1") == "0":
         return LIB if LIB.exists() else None
-    if LIB.exists() and not force and LIB.stat().st_mtime >= SRC.stat().st_mtime:
-        return LIB
+    if LIB.exists() and not force:
+        if not SRC.exists():
+            return LIB          # shipped .so without sources: use it
+        if LIB.stat().st_mtime >= SRC.stat().st_mtime:
+            return LIB
+    if not SRC.exists():
+        return None
     fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
     os.close(fd)
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",

@@ -314,16 +314,21 @@ void rsx_soft_to_bits(const float* soft, uint8_t* bits, size_t n,
 // Returns 0 on success, -1 on alloc failure.
 int rsx_viterbi_k7(const float* soft, int64_t npairs, uint8_t* out) {
     const int M = 64;
-    static uint8_t code[2 * M];
-    static int init = 0;
-    if (!init) {
-        for (int n = 0; n < 2 * M; n++) {
-            int a = __builtin_parity(0x4F & n);
-            int b = __builtin_parity(0x6D & n);
-            code[n] = uint8_t((a << 1) | b);
+    // magic static: C++11 guarantees thread-safe one-time init (ctypes
+    // releases the GIL, so two Python threads CAN race a first call —
+    // the bare `static int init` flag pattern here was UB)
+    struct Code {
+        uint8_t v[2 * 64];
+        Code() {
+            for (int n = 0; n < 2 * 64; n++) {
+                int a = __builtin_parity(0x4F & n);
+                int b = __builtin_parity(0x6D & n);
+                v[n] = uint8_t((a << 1) | b);
+            }
         }
-        init = 1;
-    }
+    };
+    static const Code code_s;
+    const uint8_t* code = code_s.v;
     int64_t T = npairs / 2;
     if (T <= 0) return 0;
     uint8_t* back = new (std::nothrow) uint8_t[size_t(T) * M];

@@ -44,6 +44,11 @@ _MODEL = {"RS41": ("RS41", {}), "DFM": ("DFM", {}), "M10": ("M10", {}),
 
 def bench_type(sonde_type, channels, rounds, workers, n_frames=20,
                seed=0):
+    if sonde_type not in _MODEL:
+        raise SystemExit(
+            f"unsupported type {sonde_type!r}: this bench covers "
+            f"{sorted(_MODEL)} (types whose decoder consumes the raw "
+            f"PER-harness bit stream directly)")
     rng = np.random.default_rng(seed)
     case = per_harness.CASES[sonde_type](n_frames, rng, None)
     bits = np.asarray(case.tx_bits, np.uint8)

@@ -129,7 +129,9 @@ def _free_port():
 def run_probe():
     port = _free_port()
     coord = f"127.0.0.1:{port}"
-    out = tempfile.mktemp(suffix=".json")
+    with tempfile.NamedTemporaryFile(suffix=".json",
+                                     delete=False) as tf:
+        out = tf.name
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     procs = [subprocess.Popen(
@@ -137,8 +139,11 @@ def run_probe():
         env=env) for pid in (0, 1)]
     for p in procs:
         assert p.wait(timeout=900) == 0, "dcn probe worker failed"
-    with open(out) as f:
-        return json.load(f)
+    try:
+        with open(out) as f:
+            return json.load(f)
+    finally:
+        os.unlink(out)
 
 
 def fit_alpha_beta(res, prefix):

@@ -102,7 +102,8 @@ def main(argv=None):
     bank, lens, specs = build_template_bank(FS)
     oracle = None
     if args.ref:
-        sys.path.insert(0, "/root/repo")
+        from radiosonde_auto_rx_tpu.tools import repo_root
+        sys.path.insert(0, repo_root())
         try:
             from tests import oracle as _o
             oracle = _o if _o.available() else None

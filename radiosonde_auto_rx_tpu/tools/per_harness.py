@@ -47,8 +47,8 @@ def _oracle():
     """The reference-binary builder (tests/oracle.py) if importable and
     the reference tree is present; else None (TPU-only sweeps)."""
     try:
-        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))))))
+        from radiosonde_auto_rx_tpu.tools import repo_root
+        sys.path.insert(0, repo_root())
         from tests import oracle
         return oracle if oracle.available() else None
     except ImportError:
