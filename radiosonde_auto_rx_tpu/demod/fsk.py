@@ -507,10 +507,10 @@ def _fsk_demod_scan_buffered(cfg: FSKConfig, x: jnp.ndarray,
     selected from (2*slack_ts+1) static slices by mask.  Numerically
     identical to ``_fsk_demod_scan`` on the off0-shifted stream while the
     accumulated clock drift stays inside ±slack/2.  Beyond the slack the
-    pointer WRAPS by a whole symbol (an even number of grid steps, so
-    2·ts when ts is odd): one clean symbol duplication/deletion per wrap
-    event, preserving sub-symbol timing phase so the demod stays locked
-    and frame decoders re-sync at the next header — instead of the
+    pointer WRAPS back toward the slack center by a grid-aligned jump
+    (whole symbols when ts is even; multiples of ts//2 when ts is odd —
+    see ``_slack_wrap``): a clean multi-step slip per wrap event so the
+    demod stays locked and frame decoders re-sync at the next header — instead of the
     sub-symbol clamp slip that would corrupt every following symbol
     under sustained ppm offset.
     The default scan for ``fsk_demod_stream`` and the sharded pipeline.

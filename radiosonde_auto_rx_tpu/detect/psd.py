@@ -103,8 +103,8 @@ def _welch(x, nfft, hop=None):
     wc = jnp.asarray(wc, mdt)
     ws = jnp.asarray(ws, mdt)
     # bf16 dot OUTPUTS on TPU: the [C, nseg, nfft] spectra are the big
-    # HBM write (~384 MB at bench geometry; this chip sustains only
-    # ~113 GB/s) and |.|^2 is accumulated in f32 right after
+    # HBM write (~384 MB at bench geometry) and |.|^2 is accumulated in
+    # f32 right after
     odt = mdt
 
     def dot(a, m):
@@ -160,11 +160,14 @@ def detect_peaks(x, mph=None, mpd=1, threshold=0.0):
         rise = rise[x[rise] >= mph]
     if rise.size and threshold > 0:
         # a "peak" flagged at the very first/last sample has only one
-        # neighbor — compare against that neighbor alone rather than
-        # indexing out of bounds
-        keep = np.array([x[i] - max(x[max(i - 1, 0)],
-                                    x[min(i + 1, x.size - 1)]) > threshold
-                         for i in rise])
+        # neighbor — compare against that neighbor ALONE (folding the
+        # sample into the max would always reject boundary peaks)
+        def _prom(i):
+            nbrs = [x[i - 1]] if i > 0 else []
+            if i + 1 < x.size:
+                nbrs.append(x[i + 1])
+            return x[i] - max(nbrs)
+        keep = np.array([_prom(i) > threshold for i in rise])
         rise = rise[keep]
     if rise.size and mpd > 1:
         order = rise[np.argsort(x[rise])][::-1]

@@ -69,14 +69,15 @@ def viterbi_decode(soft_pairs):
     """
     # the short-input guard must run BEFORE native dispatch so both
     # builds return the same result (the native path would emit T bits
-    # for T < L where the reference numpy path emits none)
-    s = np.asarray(soft_pairs, dtype=np.float64)
-    T = len(s) // 2
-    if T < L:
+    # for T < L where the reference numpy path emits none); length only
+    # — the float64 conversion is deferred to the numpy fallback
+    if len(soft_pairs) // 2 < L:
         return np.zeros(0, dtype=np.uint8)
     from radiosonde_auto_rx_tpu import native
     if native.available():
         return native.viterbi_k7(soft_pairs)
+    s = np.asarray(soft_pairs, dtype=np.float64)
+    T = len(s) // 2
     sA = s[0:2 * T:2]
     sB = s[1:2 * T:2]
 

@@ -45,9 +45,13 @@ def initialize(coordinator_address: str | None = None,
     ``jax.distributed.initialize`` unconditionally raises (round-4
     review: an earlier already-initialized guard built on process_count
     made this function a guaranteed silent no-op)."""
-    from jax._src import distributed as _dist
-    if _dist.global_state.client is not None:
-        return  # already initialized (inspecting state makes no jax call)
+    if getattr(jax.distributed, "is_initialized", None) is not None:
+        if jax.distributed.is_initialized():
+            return
+    else:  # older jax: inspect internal state (makes no jax call)
+        from jax._src import distributed as _dist
+        if _dist.global_state.client is not None:
+            return
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,

@@ -116,6 +116,10 @@ class IQStreamSource:
         tail_dt = {"cu8raw": np.uint8, "cs16raw": np.int16}.get(
             fmt, np.float32)
         self._tail = np.zeros((2, overlap), tail_dt)
+        if fmt == "cu8raw":
+            # cu8 zero decodes to (0-127.5)/128 = full-scale negative
+            # DC; the neutral wire value is ~127.5 -> use 127
+            self._tail[:] = 127
         self.samples_read = 0
 
     def read_block(self, partial: bool = False):

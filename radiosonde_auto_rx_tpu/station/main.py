@@ -322,6 +322,18 @@ class BlockSource:
             except (OSError, ProcessLookupError):
                 pass
             self.proc = None
+            # KA9Q holds server-side channel state: release the SSRC or
+            # radiod keeps streaming full-rate IQ for every center this
+            # source ever tuned (reference releases on teardown,
+            # ka9q.py:84-131)
+            if self.settings.get("sdr_type") == "KA9Q":
+                try:
+                    from radiosonde_auto_rx_tpu.sources.sdr_wrappers                         import shutdown_sdr
+                    shutdown_sdr("KA9Q",
+                                 self.settings.get("sdr_hostname", ""),
+                                 self.center_hz)
+                except Exception:
+                    log.exception("KA9Q channel release failed")
         if self._file is not None:
             self._file.close()
             self._file = None

@@ -82,13 +82,28 @@ def read_log_file(filename: str, decimation: int = 1) -> dict:
     return out
 
 
+_QUICKLOOK_CACHE: dict = {}    # path -> (mtime, stats)
+
+
 def log_quick_look(filename: str) -> dict | None:
+    """Flight summary stats, cached by (path, mtime): /get_log_list
+    calls this for EVERY log on every History-tab poll, and a
+    long-running station accumulates hundreds of flights — re-parsing
+    unchanged files each request is O(total log bytes) per poll."""
+    try:
+        mtime = os.stat(filename).st_mtime
+    except OSError:
+        return None
+    hit = _QUICKLOOK_CACHE.get(filename)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
     data = read_log_file(filename, decimation=10)
     if not data["alt"]:
+        _QUICKLOOK_CACHE[filename] = (mtime, None)
         return None
     with open(filename) as f:
         n_lines = sum(1 for _ in f) - 1
-    return {
+    stats = {
         "first_time": data["time"][0],
         "last_time": data["time"][-1],
         "max_alt": max(data["alt"]),
@@ -97,6 +112,8 @@ def log_quick_look(filename: str) -> dict | None:
         "last_lon": data["lon"][-1],
         "points": n_lines,
     }
+    _QUICKLOOK_CACHE[filename] = (mtime, stats)
+    return stats
 
 
 def pressure_from_altitude(alt_m: float) -> float:

@@ -246,7 +246,13 @@ class WebServer:
                             json.dumps({"error": "bad n"}), code=400)
                     lines = outer.log_handler.tail(n) \
                         if outer.log_handler else []
-                    self._send(json.dumps({"log_lines": lines}))
+                    # seq: SSE cursor covering everything in this
+                    # response — pass as /events?log_seen= so no line
+                    # between this fetch and the stream connect is lost
+                    seq = outer.log_handler.total \
+                        if outer.log_handler else 0
+                    self._send(json.dumps({"log_lines": lines,
+                                           "seq": seq}))
                 elif path == "/get_log_detail":
                     try:
                         dec = int(self._qs().get("decimation", ["5"])[0])
@@ -338,12 +344,19 @@ class WebServer:
                     self.wfile.flush()
 
                 t_seq = 0
-                # start at the current cursor: the page already fetched
-                # the recent tail via /get_log_lines, so replaying the
-                # whole ring here would duplicate every line (and again
-                # on each SSE reconnect)
-                log_seen = outer.log_handler.total \
+                # log cursor: the client passes the seq it got from
+                # /get_log_lines so nothing logged between that fetch
+                # and this connect is lost; default to the current
+                # total (replaying the whole ring would duplicate the
+                # fetched backlog on every reconnect)
+                now_total = outer.log_handler.total \
                     if outer.log_handler is not None else 0
+                try:
+                    log_seen = int(self._qs().get(
+                        "log_seen", [str(now_total)])[0])
+                except ValueError:
+                    log_seen = now_total
+                log_seen = max(0, min(log_seen, now_total))
                 scan_ts = None
                 try:
                     emit("hello", {"ok": True})

@@ -351,3 +351,17 @@ def test_blocknorm_scan_matches_monolithic():
                                              positions=False)[0]
         np.testing.assert_allclose(np.asarray(b0), np.asarray(a0),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_detect_peaks_threshold_boundaries():
+    """threshold>0 at array edges: a one-neighbor peak is judged
+    against that neighbor alone, and never indexes out of bounds
+    (round-4 review: x[i+1] raised IndexError for a last-sample peak;
+    the first guard then folded x[i] into the max, silently rejecting
+    every boundary peak)."""
+    import numpy as np
+    x = np.array([0.0, 1.0, 3.0])
+    assert list(detect_peaks(x, threshold=1.5)) == [2]
+    assert list(detect_peaks(x, threshold=2.5)) == []
+    x2 = np.array([0.0, 2.0, 0.5, 0.4, 0.3])
+    assert list(detect_peaks(x2, threshold=1.0)) == [1]

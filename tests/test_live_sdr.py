@@ -486,13 +486,15 @@ def test_ka9q_source_tunes_channel_before_streaming(tmp_path, monkeypatch):
         assert f"--frequency {int(CENTER1)}" in lines[0]
         assert "--radio radiod.test.local" in lines[0]
         assert "--mode iq" in lines[0]
-        # retune re-creates the channel at the new frequency
+        # retune RELEASES the old channel (radiod would otherwise keep
+        # streaming the old SSRC forever) then creates the new one
         src.retune(CENTER2)
         center2, block2 = src.read_block()
         lines = (tune_log.parent / (tune_log.name + ".tune")
                  ).read_text().strip().splitlines()
-        assert len(lines) == 2
-        assert f"--frequency {int(CENTER2)}" in lines[1]
+        assert len(lines) == 3
+        assert "--frequency 0" in lines[1]          # close old SSRC
+        assert f"--frequency {int(CENTER2)}" in lines[2]
         # and the stream decodes through the station like any source
         telems = st.process_capture(block)
         assert any(t.get("id") == "L2468013" for t in telems)
