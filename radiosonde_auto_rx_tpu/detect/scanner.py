@@ -53,10 +53,12 @@ class SondeDetector:
 
     def __init__(self, fs: int = 48000, specs=None, taps: int = 97,
                  lband: bool = False, prescreen: bool = True,
-                 prescreen_margin: float | None = None):
+                 prescreen_margin: float | None = None,
+                 bw_table=None):
         self.fs = fs
         self.lband = lband
-        bw_table = LPIQ_BW_LBAND if lband else LPIQ_BW
+        if bw_table is None:
+            bw_table = LPIQ_BW_LBAND if lband else LPIQ_BW
         specs = TEMPLATES if specs is None else specs
         # phase-1 reduced-rate prescreen (detect/prescreen.py): rejects
         # empty channels before the full 4-stream multi-template pass.

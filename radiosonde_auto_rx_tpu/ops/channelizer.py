@@ -143,3 +143,96 @@ def channel_freqs(n_chan: int, fs: float) -> np.ndarray:
     f = k * fs / n_chan
     f[k > n_chan // 2] -= fs
     return f
+
+
+# --------------------------------------------------------------------- #
+# Single-channel recentered extraction: the TPU-native analogue of the
+# reference "tune the SDR to the detected peak" (reference
+# auto_rx/autorx/scan.py:1034-1097 quantizes scan peaks to the 10 kHz
+# raster and retunes; autorx/sdr_wrappers.py:270-376 builds the retuned
+# IQ command).  A fixed PFB grid cannot retune, so off-grid candidates
+# are re-extracted from the retained wideband block: rotate by the peak
+# frequency, then run ONE branch of the same polyphase bank (channel 0
+# of the DFT = the plain branch sum).  At f = k*fs/N this reproduces
+# ``_channelize`` output k exactly (the k*m rotation term is integer
+# cycles), so recentered rows are drop-in replacements for PFB rows.
+
+
+def extract_phases(f_hz: float, fs: float, t_samples: int, n_dec: int):
+    """Host-side exact phase tables for ``_extract`` (float64 modular
+    math — a float32 in-graph NCO drifts ~0.1 cycle over a 1 s wideband
+    block, which would smear the FSK tones).
+
+    Returns (ph_m [T//n_dec], ph_r [n_dec]) phase tables in cycles:
+    the rotation phase of wideband sample ``m*n_dec + r`` is
+    ``ph_m[m] + ph_r[r]`` (mod 1).
+    """
+    m = np.arange(t_samples // n_dec, dtype=np.float64)
+    r = np.arange(n_dec, dtype=np.float64)
+    f = float(f_hz) / float(fs)
+    ph_m = np.mod(f * n_dec * m, 1.0).astype(np.float32)
+    ph_r = np.mod(f * r, 1.0).astype(np.float32)
+    return ph_m, ph_r
+
+
+@partial(jax.jit, static_argnames=("n_dec",))
+def _extract(x, h, ph_m, ph_r, n_dec):
+    """x: [S, 2, T] wideband planes (one per slot); h: [P*n_dec]
+    prototype; ph_m: [S, T//n_dec], ph_r: [S, n_dec] rotation phases
+    (cycles).
+
+    Returns [S, 2, T//n_dec] recentered decimated channel planes (branch
+    dtype, matching ``_channelize`` rows).  Each slot s rotates its
+    wideband stream DOWN by its frequency (e^{-j2πf n}) and decimates
+    through the prototype's polyphase branches.
+    """
+    P = h.shape[0] // n_dec
+    T = x.shape[-1] // n_dec * n_dec
+    M = T // n_dec
+    ydt = _branch_dtype()
+    hb = h.reshape(P, n_dec).astype(ydt)                     # [P, N]
+    tau = jnp.float32(2.0 * np.pi)
+    cm, sm = jnp.cos(tau * ph_m), jnp.sin(tau * ph_m)        # [S, M]
+    cr, sr = jnp.cos(tau * ph_r), jnp.sin(tau * ph_r)        # [S, N]
+
+    def one(x_s, cm_s, sm_s, cr_s, sr_s):
+        xb = x_s[:, :T].reshape(2, M, n_dec)                 # [2, M, N]
+        # cos/sin of the summed phase via angle addition (M+N
+        # transcendentals instead of M*N)
+        c = cm_s[:, None] * cr_s[None, :] - sm_s[:, None] * sr_s[None, :]
+        s = sm_s[:, None] * cr_s[None, :] + cm_s[:, None] * sr_s[None, :]
+        # rotate DOWN by f: (re + j·im)·(c - j·s)
+        re = (xb[0] * c + xb[1] * s).astype(ydt)             # [M, N]
+        im = (xb[1] * c - xb[0] * s).astype(ydt)
+        # branch MAC exactly as _channelize, then the branch SUM
+        # (channel-0 DFT row) instead of the cross-branch DFT
+        out = []
+        for plane in (re, im):
+            xp = jnp.pad(plane, ((P - 1, 0), (0, 0)))
+            y = xp[P - 1:P - 1 + M, :] * hb[0]
+            for p in range(1, P):
+                y = y + xp[P - 1 - p:P - 1 - p + M, :] * hb[p]
+            out.append(y.sum(axis=-1).astype(ydt))
+        return jnp.stack(out)                                # [2, M]
+
+    return jax.vmap(one)(x, cm, sm, cr, sr)                  # [S, 2, M]
+
+
+def extract_channels(x, fs: float, f_hz_list, n_dec: int,
+                     h: np.ndarray | None = None):
+    """Wideband IQ planes -> [S, 2, T//n_dec] channels recentered on the
+    (possibly off-grid) frequencies ``f_hz_list`` (Hz relative to the
+    capture center).  ``x`` is [2, T] (shared across slots) or [S, 2, T]
+    (one capture per slot).  ``h`` defaults to the same prototype a
+    ``n_dec``-channel PFB would use, so an extraction at a channel
+    center matches that PFB channel."""
+    if h is None:
+        h = pfb_prototype(n_dec)
+    x = jnp.asarray(x)
+    T = int(x.shape[-1])
+    tabs = [extract_phases(f, fs, T, n_dec) for f in f_hz_list]
+    ph_m = jnp.asarray(np.stack([t[0] for t in tabs]))
+    ph_r = jnp.asarray(np.stack([t[1] for t in tabs]))
+    if x.ndim == 2:
+        x = jnp.broadcast_to(x[None], (len(f_hz_list),) + x.shape)
+    return _extract(x, jnp.asarray(h), ph_m, ph_r, n_dec)

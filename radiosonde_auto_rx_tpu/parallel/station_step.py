@@ -479,7 +479,7 @@ class ShardedStationStep:
                 xh = recv
 
             sid = jax.lax.axis_index(CH_AXIS)
-            soft_o, bits_o, ebno_o = [], [], []
+            soft_o, bits_o, ebno_o, fres_o = [], [], [], []
             for slot in range(e_local):
                 # this slot's expert id = sid * e_local + slot: select
                 # the demod program at runtime via switch over types
@@ -492,8 +492,8 @@ class ShardedStationStep:
                             # on TPU, real branches emit f32 ebno)
                             z = jnp.zeros((S_tot, out_max), jnp.float32) \
                                 + 0.0 * xe[:, 0, :1].astype(jnp.float32)
-                            return z, z, \
-                                0.0 * xe[:, 0, 0].astype(jnp.float32)
+                            zs = 0.0 * xe[:, 0, 0].astype(jnp.float32)
+                            return z, z, zs, zs
                         return run_pad
                     cfg = cfgs[eidx]
                     blen, nb = lens[eidx]
@@ -503,8 +503,8 @@ class ShardedStationStep:
                         if nb == 0:
                             z = jnp.zeros((S_tot, out_max), jnp.float32) \
                                 + 0.0 * xe[:, 0, :1].astype(jnp.float32)
-                            return z, z, \
-                                0.0 * xe[:, 0, 0].astype(jnp.float32)
+                            zs = 0.0 * xe[:, 0, 0].astype(jnp.float32)
+                            return z, z, zs, zs
                         if rs_to:
                             # static periodic-block matmul resampler
                             # (the tsrc analogue, ops/resample.py)
@@ -530,37 +530,58 @@ class ShardedStationStep:
                         bits = jnp.transpose(outs["bits"], (1, 0, 2)
                                              ).reshape(S_tot, -1)
                         ebno = outs["ebno_db"].max(axis=0)
+                        # carrier-offset residual: tone-mean of the
+                        # demod's f_est over locked blocks (the drift
+                        # signal; station._freq_residuals host analogue)
+                        if afsk:
+                            fres = jnp.zeros_like(ebno)
+                        else:
+                            fe = outs["f_est"].mean(axis=-1)   # [nb, S]
+                            eb = outs["ebno_db"]               # [nb, S]
+                            # locked blocks only: within 10 dB of the
+                            # slot's best block (prunes the noise tail
+                            # of bursty transmissions) and above 3 dB
+                            thr = jnp.maximum(3.0, eb.max(0) - 10.0)
+                            good = (eb > thr[None, :]
+                                    ).astype(jnp.float32)
+                            fres = (fe * good).sum(0) / \
+                                jnp.maximum(good.sum(0), 1.0)
                         pad = out_max - soft.shape[1]
                         soft = jnp.pad(soft, ((0, 0), (0, pad)))
                         bits = jnp.pad(bits.astype(jnp.float32),
                                        ((0, 0), (0, pad)))
-                        return soft, bits, ebno
+                        return soft, bits, ebno, fres
                     return run
 
                 branches = [branch(s * e_local + slot)
                             for s in range(n_sh)]
-                s_k, b_k, e_k = jax.lax.switch(sid, branches, xh[slot])
+                s_k, b_k, e_k, f_k = jax.lax.switch(sid, branches,
+                                                    xh[slot])
                 soft_o.append(s_k)
                 bits_o.append(b_k)
                 ebno_o.append(e_k)
+                fres_o.append(f_k)
             # best block Eb/N0 across the time shards (unconditional:
             # establishes t-replication for the out_specs check)
             ebno = jax.lax.pmax(jnp.stack(ebno_o), T_AXIS)
+            # residuals: mean of the t-shards' per-shard means
+            fres = jax.lax.pmean(jnp.stack(fres_o), T_AXIS)
             return (jnp.stack(soft_o), jnp.stack(bits_o),
-                    ebno, recv_i, recv_m,
+                    ebno, fres, recv_i, recv_m,
                     dropped.sum()[None])
 
-        soft, bits, ebno, ids, mask, dropped = shard_map(
+        soft, bits, ebno, fres, ids, mask, dropped = shard_map(
             body, mesh=self.mesh,
             in_specs=(P(CH_AXIS, None, T_AXIS), P(CH_AXIS)),
             out_specs=(P(CH_AXIS, None, T_AXIS), P(CH_AXIS, None, T_AXIS),
                        P(CH_AXIS, None), P(CH_AXIS, None),
-                       P(CH_AXIS, None), P(CH_AXIS)),
+                       P(CH_AXIS, None), P(CH_AXIS, None), P(CH_AXIS)),
         )(channels, expert_ids)
         # drop the mesh-divisibility pad experts (always-masked rows)
         return dict(soft=soft[:self.n_exp], bits=bits[:self.n_exp],
-                    ebno=ebno[:self.n_exp], ids=ids[:self.n_exp],
-                    mask=mask[:self.n_exp], dropped=dropped)
+                    ebno=ebno[:self.n_exp], fres=fres[:self.n_exp],
+                    ids=ids[:self.n_exp], mask=mask[:self.n_exp],
+                    dropped=dropped)
 
     def bits_lens(self, t_total: int):
         """Host helper: per-expert valid soft/bits length for a GLOBAL

@@ -46,6 +46,11 @@ def _worker_main(inq, outq):
         if op == "drop":
             decoders.pop(msg[1], None)
             continue
+        if op == "rekey":
+            st = decoders.pop(msg[1], None)
+            if st is not None:
+                decoders[msg[2]] = st
+            continue
         # ("decode", ticket, fz, model_name, kwargs, bits, soft)
         _, ticket, fz, model_name, kwargs, bits, soft = msg
         try:
@@ -162,6 +167,26 @@ class FramePlane:
             self._decoders.pop(fz, None)
         elif self._inqs:                 # pool not started: nothing held
             self._inqs[self._route(fz)].put(("drop", fz))
+
+    def rekey(self, old_fz: int, new_fz: int):
+        """Move a frequency's decoder state (drift retune): preserves
+        accumulated decoder state (RS41 cal subframes, DFM serial
+        confirmation) as the task frequency follows a drifting sonde."""
+        if old_fz == new_fz:
+            return
+        if self.workers == 0:
+            st = self._decoders.pop(old_fz, None)
+            if st is not None:
+                self._decoders[new_fz] = st
+        elif self._inqs:
+            if self._route(old_fz) == self._route(new_fz):
+                self._inqs[self._route(old_fz)].put(
+                    ("rekey", old_fz, new_fz))
+            else:
+                # the new key routes to a different worker: decoder
+                # state cannot cross processes — drop it; stateless-by-
+                # design decoders re-lock on the next block
+                self._inqs[self._route(old_fz)].put(("drop", old_fz))
 
     def close(self):
         for q in self._inqs:

@@ -21,12 +21,33 @@ from radiosonde_auto_rx_tpu.detect.psd import power_spectrum, scan_peaks
 from radiosonde_auto_rx_tpu.detect.scanner import SondeDetector
 from radiosonde_auto_rx_tpu.models import get_model
 from radiosonde_auto_rx_tpu.ops.channelizer import (
-    channel_freqs, channelize, pfb_prototype)
+    channel_freqs, channelize, extract_channels, pfb_prototype)
 from radiosonde_auto_rx_tpu.station.config import default_config
 from radiosonde_auto_rx_tpu.station.telemetry import (
     RealtimeVelocityFilter, enrich_telemetry, telemetry_filter)
 
 log = logging.getLogger("station")
+
+# Offsets below this demodulate fine at the channel center (every narrow
+# chain's estimator window is >= +-5 kHz); above it the candidate is
+# re-extracted from the wideband block recentered on its scan peak — the
+# TPU-native analogue of the reference retuning its SDR to the detected
+# peak (reference auto_rx/autorx/scan.py:1034-1097,
+# autorx/sdr_wrappers.py:270-376).
+RECENTER_MIN_HZ = 1000.0
+# Spectral-width gate for wideband candidates: a floor-subtracted RMS
+# width above this (Weathex tones sit at ±25 kHz → RMS ≈ 25 kHz; every
+# narrow chain's tones are within ±5 kHz → RMS ≈ 2-6 kHz) sends the
+# candidate through the 96 kHz wide-scan detector instead of the 48 kHz
+# channel bank.  Width is measured over ±WIDE_SCAN_WIN_HZ.
+WIDE_WIDTH_HZ = 12e3
+WIDE_SCAN_WIN_HZ = 35e3
+WIDE_SCAN_FS = 96000
+# Demod-tracked drift below this is noise (the tone estimator's DFT bin
+# is 375-750 Hz for the narrow chains); above it the task frequency
+# follows the sonde (the reference's Df rotate, demod/mod/demod_mod.c
+# :758-761, does the same inside each decoder).
+DRIFT_MIN_HZ = 500.0
 
 
 def _demod_cfg(fs: int, rs: int, est: int = 10000, mask: int = 0):
@@ -170,6 +191,14 @@ class Station:
         # web-control state (reference web.py control endpoints :445-661)
         self.scan_enabled = True
         self.manual_tasks = {}       # freq_hz (int) -> forced type name
+        # per-block recentering state: channel index -> offset (Hz) of
+        # the task/candidate frequency from the channel center.  Set by
+        # the scan/forced-task mapping each block; freq_of_channel folds
+        # it in so every downstream fz is the recentered frequency.
+        self._offsets = {}
+        self._ex_taps = {}           # n_dec -> wide-extraction prototype
+        self._cur_wide = None        # current block's [2, T] planes
+        self._wide_freqs = set()     # last scan's wideband candidates
 
     # ------------------------------------------------------------------ #
 
@@ -207,10 +236,20 @@ class Station:
         rel = freq_hz - self.center_freq
         return int(np.argmin(np.abs(prof.freqs - rel)))
 
+    def _chan_center(self, ci: int) -> float:
+        """Absolute center frequency of channel ``ci`` (no offset)."""
+        return self.center_freq + float(self.profile().freqs[ci])
+
     def freq_of_channel(self, ci: int) -> int:
-        """Absolute (task-key) frequency of channel ``ci`` in the current
-        profile."""
-        return int(round(self.center_freq + float(self.profile().freqs[ci])))
+        """Absolute (task-key) frequency of row ``ci`` in the current
+        profile, including any recentering offset registered for it this
+        block (off-grid candidates/tasks).  Rows beyond the PFB grid
+        (second sonde in one channel) store their absolute frequency
+        directly."""
+        if ci >= self.profile().n_chan:
+            return int(round(self._offsets.get(ci, 0.0)))
+        return int(round(self._chan_center(ci) +
+                         self._offsets.get(ci, 0.0)))
 
     def in_capture(self, freq_hz: float) -> bool:
         return abs(freq_hz - self.center_freq) <= self.fs_wide / 2
@@ -249,12 +288,24 @@ class Station:
             return (x.astype(jnp.float32) - 127.5) * jnp.float32(1 / 128)
         return x.astype(jnp.float32)
 
+    def _cand_of_freq(self, f_abs: float,
+                      snap_hz: float = RECENTER_MIN_HZ):
+        """Absolute frequency -> (channel, offset-from-channel-center)
+        candidate.  Offsets below ``snap_hz`` demodulate at the channel
+        center (PFB row as-is); larger ones are recentered."""
+        ci = self.channel_of_freq(f_abs)
+        off = f_abs - self._chan_center(ci)
+        return (ci, 0.0 if abs(off) < snap_hz else float(off))
+
     def scan(self, wideband_iq) -> list:
-        """PSD scan -> candidate channel indices in the current capture
-        (reference scan.py sonde_search :948-1097; only_scan/always_scan
-        semantics from scan.py:1034-1097).  Configured frequencies outside
-        the current capture span are skipped — the band scheduler brings
-        their segment around."""
+        """PSD scan -> candidate (channel, offset_hz) pairs in the
+        current capture (reference scan.py sonde_search :948-1097;
+        only_scan/always_scan semantics from scan.py:1034-1097).  The
+        offset carries ``peak − channel_center`` for off-grid sondes
+        (the real 10 kHz raster); the capture path recenters those
+        candidates from the wideband block.  Configured frequencies
+        outside the current capture span are skipped — the band
+        scheduler brings their segment around."""
         if self.config["only_scan"]:
             return self.scan_from_psd(None)
         planes = self._wide_planes(wideband_iq)
@@ -269,17 +320,22 @@ class Station:
         return self.scan_from_psd(psd[0], db=True)
 
     def scan_from_psd(self, psd, db: bool = False) -> list:
-        """Candidate channels from a precomputed wideband PSD (raw
-        ``_welch`` power, or dB with ``db=True``).  The sharded station
-        path feeds ``ShardedStationStep.analyze``'s per-capture PSD rows
-        here so the scan policy is computed exactly once per block."""
-        prof = self.profile()
+        """Candidates from a precomputed wideband PSD (raw ``_welch``
+        power, or dB with ``db=True``).  The sharded station path feeds
+        ``ShardedStationStep.analyze``'s per-capture PSD rows here so
+        the scan policy is computed exactly once per block.
+
+        Wideband candidates (spectral RMS width > WIDE_WIDTH_HZ —
+        Weathex & friends) are flagged in ``self._wide_freqs`` for the
+        96 kHz wide-scan pass."""
+        self._wide_freqs = set()
         if self.config["only_scan"]:
             # whitelist mode: skip the PSD pass entirely
-            chans = [self.channel_of_freq(f * 1e6)
+            cands = [self._cand_of_freq(f * 1e6)
                      for f in self.config["only_scan"]
                      if self.in_capture(f * 1e6)]
-            return self._scan_tail(chans)
+            return self._scan_tail(cands)
+        q = float(self.config["quantization"]) or 10e3
         psd = np.asarray(psd)
         psd_db = psd if db else 10.0 * np.log10(np.maximum(psd, 1e-20))
         nfft = psd_db.shape[-1]
@@ -288,33 +344,147 @@ class Station:
             psd_db, pfreqs,
             snr_threshold=self.config["snr_threshold"],
             min_distance_hz=self.config["min_distance"],
-            quantization_hz=self.fs_wide / prof.n_chan,
-            never_scan=[f * 1e6 - self.center_freq
-                        for f in self.config["never_scan"]])
+            quantization_hz=0)
+        # quantize peaks to the ABSOLUTE 10 kHz sonde raster (reference
+        # scan.py:1034: real sondes transmit on 10 kHz multiples) and
+        # apply never_scan blocks
+        fq_abs = np.unique(np.round((np.asarray(peaks) +
+                                     self.center_freq) / q) * q)
+        fq_abs = [float(f) for f in fq_abs
+                  if not any(abs(f - b * 1e6) < q / 2
+                             for b in self.config["never_scan"])]
+        # refine each raster point to the local spectral CENTROID: the
+        # PSD peak of an FSK signal sits on a TONE, not the carrier
+        # (M10/M20 tones are ±5 kHz out), so one sonde can nominate two
+        # raster points and the raster point itself can be a tone.  The
+        # floor-subtracted power centroid over ±q recovers the carrier
+        # to ~the scan bin; candidates within min_distance then collapse
+        # to the strongest (the reference gets the same collapse from
+        # detect_peaks' mpd before its quantize, scan.py:1034-1097).
+        bin_hz = self.fs_wide / nfft
+        p_lin = np.maximum(10 ** (psd_db / 10.0) - 10 ** (nf / 10.0), 0.0)
+
+        def _centroid(f_abs, win_hz):
+            """(centroid f_abs, RMS width Hz) of the floor-subtracted
+            power within ±win_hz."""
+            k = (f_abs - self.center_freq) / bin_hz + nfft // 2
+            lo = max(0, int(round(k - win_hz / bin_hz)))
+            hi = min(nfft, int(round(k + win_hz / bin_hz)) + 1)
+            w = p_lin[lo:hi]
+            if w.sum() <= 0:
+                return f_abs, 0.0
+            ks = np.arange(lo, hi)
+            kc = float((w * ks).sum() / w.sum())
+            var = float((w * (ks - kc) ** 2).sum() / w.sum())
+            return ((kc - nfft // 2) * bin_hz + self.center_freq,
+                    np.sqrt(max(var, 0.0)) * bin_hz)
+
+        # can this station wide-scan?  (narrow profile with a capture
+        # rate the 96 kHz extraction divides; the L-band profile's
+        # channels are already wide)
+        can_wide = (not self.profile().wide and
+                    self.fs_wide % WIDE_SCAN_FS == 0)
+        refined = []                 # (strength_db, f_abs, is_wide)
+        for f in fq_abs:
+            k = (f - self.center_freq) / bin_hz + nfft // 2
+            fc, _ = _centroid(f, q)
+            wide_c = False
+            if can_wide:
+                # a wideband signal's PSD peaks are its TONES (±25 kHz
+                # for Weathex): re-center over the wide window so the
+                # candidate lands on the carrier, and flag it for the
+                # 96 kHz wide-scan detector
+                fw, width = _centroid(fc, WIDE_SCAN_WIN_HZ)
+                if width > WIDE_WIDTH_HZ:
+                    fc, wide_c = fw, True
+            ki = min(nfft - 1, max(0, int(round(k))))
+            refined.append((float(psd_db[ki]), round(float(fc), -2),
+                            wide_c))
+        # strongest-first collapse within decoder_spacing_limit: one
+        # sonde's spectral sidelobes nominate several raster points —
+        # the reference gets the same collapse sequentially (each
+        # detection within spacing of a just-started decoder is dropped,
+        # auto_rx.py:304-419); block-parallel detection applies it here
+        spacing = max(float(self.config["min_distance"]),
+                      float(self.config.get("decoder_spacing_limit",
+                                            15e3)))
+        fq_abs, kept = [], []
+        self._wide_freqs = set()
+        for s, f, wide_c in sorted(refined, reverse=True):
+            if all(abs(f - g) >= spacing for g in kept):
+                kept.append(f)
+                fq_abs.append(f)
+                if wide_c:
+                    self._wide_freqs.add(int(round(f)))
+        fq_abs.sort()
         # latest scan for the web UI (reference scan.py:47-54
         # pushes freq/power/peaks to the browser)
         self.scan_results = {
             "timestamp": time.time(),
             "freq": ((pfreqs + self.center_freq) / 1e6).round(4).tolist(),
             "power": np.round(psd_db, 1).tolist(),
-            "peak_freq": [(p + self.center_freq) / 1e6 for p in peaks],
+            "peak_freq": [f / 1e6 for f in fq_abs],
             "noise_floor": round(nf, 1),
         }
-        chans = sorted({int(np.argmin(np.abs(prof.freqs - p)))
-                        for p in peaks})
+        # channel + offset per candidate: centroid jitter below
+        # RECENTER_MIN_HZ is the on-grid case (PFB row as-is); larger
+        # offsets are true off-grid sondes
+        cands = [self._cand_of_freq(f) for f in fq_abs]
         # always_scan frequencies join every detect pass
         for f_mhz in self.config["always_scan"]:
             if self.in_capture(f_mhz * 1e6):
-                chans.append(self.channel_of_freq(f_mhz * 1e6))
-        return self._scan_tail(chans)
+                cands.append(self._cand_of_freq(f_mhz * 1e6))
+        return self._scan_tail(cands)
 
-    def _scan_tail(self, chans: list) -> list:
+    def _scan_tail(self, cands: list) -> list:
+        spacing = float(self.config.get("decoder_spacing_limit", 15e3))
         for f_mhz in self.config["always_decode"]:
             if self.in_capture(f_mhz * 1e6):
-                chans.append(self.channel_of_freq(f_mhz * 1e6))
-        chans = [c for c in chans
-                 if not self._blocked(self.freq_of_channel(c))]
-        return sorted(set(chans))[: self.config["max_peaks"]]
+                cands.append(self._cand_of_freq(f_mhz * 1e6))
+        out, seen = [], set()
+        for ci, off in sorted(cands):
+            fq = self._chan_center(ci) + off
+            if self._blocked(fq):
+                continue
+            if self._absorb_candidate(fq, spacing):
+                continue
+            key = (ci, int(round(off)))
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append((ci, off))
+        return out[: self.config["max_peaks"]]
+
+    def _absorb_candidate(self, fq: float, spacing: float) -> bool:
+        """A candidate within ``decoder_spacing_limit`` of an active or
+        manual task is the SAME (possibly drifting) sonde — never spawn
+        a second task (reference auto_rx.py:304-419).  If the active
+        task's frequency lags the new peak by a full scan quantum, move
+        the task to the peak: the reference leaves its SDR tuned and
+        lets the decoder's Df rotate follow (demod_mod.c:758-761); here
+        the recentering NCO is the Df analogue, so retuning the task IS
+        the follow."""
+        for fz in self.manual_tasks:
+            if abs(fq - fz) <= spacing:
+                return True
+        for fz in list(self.active):
+            if abs(fq - fz) <= spacing:
+                if abs(fq - fz) >= float(self.config["quantization"]):
+                    self._retune(fz, fq)
+                return True
+        return False
+
+    def _retune(self, old_fz: int, new_fz: float):
+        """Move an active task to a new frequency, preserving decoder
+        state (drift follow)."""
+        new_fz = int(round(new_fz))
+        if new_fz == old_fz or old_fz not in self.active \
+                or new_fz in self.active:
+            return
+        self.active[new_fz] = self.active.pop(old_fz)
+        self.frame_plane.rekey(old_fz, new_fz)
+        log.info("drift: task %.4f MHz -> %.4f MHz",
+                 old_fz / 1e6, new_fz / 1e6)
 
     # ------------------------------------------------------------------ #
 
@@ -327,23 +497,64 @@ class Station:
         if center_freq_hz is not None:
             self.center_freq = float(center_freq_hz)
         prof = self.profile()
+        n_chan = prof.n_chan
         planes = self._wide_planes(wideband_iq)
-        chans = self.scan(planes) if self.scan_enabled else []
-        # manual tasks + known-active sondes within this capture re-decode
-        # every visit without needing a fresh detection
-        forced = {}                      # ci -> type name
+        self._cur_wide = planes
+        self._offsets = {}
+        cands = self.scan(planes) if self.scan_enabled else []
+        # row allocation: each task/candidate frequency gets one row of
+        # the channel bank.  On-grid rows are PFB channels; off-grid
+        # rows are recentered extractions scattered over (or, when two
+        # sondes share a channel, appended after) the PFB rows.
+        rec = {}                     # row < n_chan -> extraction f_rel
+        extra = []                   # appended rows' extraction f_rel
+        row_alloc = {}               # row -> f_abs
+
+        def _alloc(f_abs: float) -> int:
+            ci = self.channel_of_freq(f_abs)
+            off = f_abs - self._chan_center(ci)
+            if ci not in row_alloc:
+                row = ci
+                if abs(off) >= RECENTER_MIN_HZ:
+                    rec[row] = float(prof.freqs[ci]) + off
+            elif abs(row_alloc[ci] - f_abs) < 1.0:
+                return ci
+            else:
+                # second task inside one channel (>= spacing apart):
+                # its own recentered row, appended after the PFB rows
+                row = n_chan + len(extra)
+                extra.append(float(prof.freqs[ci]) + off)
+            row_alloc[row] = float(f_abs)
+            self._offsets[row] = f_abs - (
+                self._chan_center(row) if row < n_chan else 0.0)
+            return row
+
+        # manual tasks + known-active sondes within this capture
+        # re-decode every visit without needing a fresh detection
+        forced = {}                  # row -> type name
         for fz, name in self.manual_tasks.items():
             if self.in_capture(fz):
-                forced[self.channel_of_freq(fz)] = name
+                forced[_alloc(fz)] = name
         for fz, st in self.active.items():
             if self.in_capture(fz):
-                forced.setdefault(self.channel_of_freq(fz), st["type"])
-        chans = [c for c in chans if c not in forced]
-        ch = channelize(planes, prof.n_chan, prof.pfb_taps)
-        tasks = [(ci, name, None) for ci, name in forced.items()]
-        if chans:
-            detections = prof.detector.detect(ch[np.array(chans)])
-            for ci, dets in zip(chans, detections):
+                forced.setdefault(_alloc(fz), st["type"])
+        cand_rows = []
+        wide_cands = []
+        for ci, off in cands:
+            fq = self._chan_center(ci) + off
+            if int(round(fq)) in self._wide_freqs:
+                wide_cands.append(fq)
+                continue
+            row = _alloc(fq)
+            if row not in forced:
+                cand_rows.append(row)
+        ch = channelize(planes, n_chan, prof.pfb_taps)
+        ch = self._apply_recenter(ch, planes, prof, rec, extra)
+        n_rows = n_chan + len(extra)
+        tasks = [(row, name, None) for row, name in forced.items()]
+        if cand_rows:
+            detections = prof.detector.detect(ch[np.array(cand_rows)])
+            for row, dets in zip(cand_rows, detections):
                 if not dets:
                     continue
                 det = dets[0]
@@ -354,7 +565,17 @@ class Station:
                     # (reference decode.py:948 starts rs92mod --ngp)
                     name = "RS92NGP"
                 if name in CHAIN_TABLE or name in MODEL_NAME:
-                    tasks.append((ci, name, det))
+                    # the detector's FM-DC offset estimate refines the
+                    # task frequency when it shows the scan center was
+                    # materially off (the Df refinement of
+                    # demod_mod.c:758-761); the demod's own f_est
+                    # feedback trims the rest after decode
+                    if det.freq_offset and \
+                            RECENTER_MIN_HZ <= abs(det.freq_offset) <= 5e3:
+                        self._offsets[row] = self._offsets.get(row, 0.0) \
+                            + float(det.freq_offset)
+                    tasks.append((row, name, det))
+        tasks = self._dedupe_tasks(tasks)
         # group same-type channels into one batched demod call — the
         # channel batch IS the parallel axis, one device dispatch per
         # type.  Grouping runs through the EP-routing compaction
@@ -364,9 +585,100 @@ class Station:
         # tests/test_routing.py).
         telemetry_out = []
         for name, items in self.group_tasks_by_type(
-                tasks, prof.n_chan).items():
+                tasks, n_rows).items():
             telemetry_out.extend(self.decode_channels(ch, items, name))
+        # wideband candidates (Weathex & friends): 96 kHz wide-scan
+        # detect + decode from the retained wideband block
+        for fq in wide_cands:
+            telemetry_out.extend(
+                self._process_wide_candidate(prof, planes, fq))
         return telemetry_out
+
+    def _wide_scan_detector(self):
+        """Lazy 96 kHz detector for wideband types: the real ±25 kHz
+        tone pairs are outside any 48 kHz channel, so wide candidates
+        re-detect on a 96 kHz extraction with a 64 kHz IF class (the
+        audio lowpass then recovers the baud pattern — dft_detect's
+        structure at the rate the signal actually needs)."""
+        det = getattr(self, "_wide_det", None)
+        if det is None:
+            import dataclasses
+            from radiosonde_auto_rx_tpu.detect.templates import TEMPLATES
+            specs = [dataclasses.replace(s, lp_iq=0)
+                     for s in TEMPLATES if s.name.startswith("WXR")]
+            det = SondeDetector(WIDE_SCAN_FS, specs=specs,
+                                prescreen=False,
+                                bw_table=(64e3, 64e3, 64e3, 200e3))
+            self._wide_det = det
+        return det
+
+    def _process_wide_candidate(self, prof, planes, f_abs: float) -> list:
+        """Wide-scan one flagged candidate: extract a 96 kHz channel at
+        its carrier from the wideband block, detect with the wide bank,
+        decode through the wideband chain.  Falls back to the narrow
+        single-channel path when no wide type confirms (the width gate
+        can fire on overlapping narrow signals)."""
+        n_dec = self.fs_wide // WIDE_SCAN_FS
+        h = self._ex_taps.get(n_dec)
+        if h is None:
+            h = self._ex_taps.setdefault(n_dec, pfb_prototype(n_dec))
+        f_rel = float(f_abs) - self.center_freq
+        row96 = extract_channels(planes, self.fs_wide, [f_rel],
+                                 n_dec, h)[0]
+        dets = self._wide_scan_detector().detect(row96[None],
+                                                 prescreen=False)[0]
+        if not dets:
+            return self._process_collision(prof, planes, f_abs)
+        det = dets[0]
+        self.stats["detections"] += 1
+        name = det.name
+        if name not in CHAIN_TABLE:
+            return []
+        n_chan = prof.n_chan
+        self._offsets[n_chan] = float(f_abs)     # virtual row
+        return self.decode_channels(row96[None], [(0, det)], name,
+                                    chan_map={0: n_chan})
+
+    def _dedupe_tasks(self, tasks: list) -> list:
+        """Spacing rule over a block's freshly detected tasks: a
+        detection within ``decoder_spacing_limit`` of an existing
+        (forced) task or of a stronger detection is the same sonde —
+        exactly the reference's sequential handle_scan_results check
+        (auto_rx.py:304-419) applied to block-parallel detections."""
+        spacing = float(self.config.get("decoder_spacing_limit", 15e3))
+        order = sorted(tasks, key=lambda t: (
+            t[2] is not None, -(t[2].score if t[2] is not None else 0.0)))
+        kept, out = [], []
+        for row, name, det in order:
+            fz = self.freq_of_channel(row)
+            if det is not None and any(abs(fz - g) < spacing
+                                       for g in kept):
+                continue
+            kept.append(fz)
+            out.append((row, name, det))
+        return out
+
+    def _apply_recenter(self, ch, planes, prof, rec: dict, extra: list):
+        """Recenter off-grid rows from the wideband block: one
+        ``extract_channels`` call covers scattered replacements (``rec``:
+        row -> f_rel) and appended rows (``extra``: list of f_rel).  The
+        extraction slot count pads to a power of two so the device
+        program compiles for O(log n) shapes."""
+        n_work = len(rec) + len(extra)
+        if n_work == 0:
+            return ch
+        f_list = [f for _, f in sorted(rec.items())] + list(extra)
+        S = 1 << max(0, int(np.ceil(np.log2(n_work))))
+        f_list += [0.0] * (S - n_work)
+        ext = extract_channels(planes, self.fs_wide, f_list,
+                               prof.n_chan, prof.pfb_taps)
+        if rec:
+            rows = np.fromiter(sorted(rec), np.int32, len(rec))
+            ch = ch.at[jnp.asarray(rows)].set(ext[:len(rec)])
+        if extra:
+            ch = jnp.concatenate(
+                [ch, ext[len(rec):len(rec) + len(extra)]])
+        return ch
 
     # ------------------------------------------------------------------ #
     # multi-chip production path: the sharded station step
@@ -437,7 +749,8 @@ class Station:
         # straight to the full-rate confirm pass (screening all channels
         # costs more than confirming <= max_peaks candidates exactly)
         chf, psd, _ = step.analyze(wide, screen=False)
-        return ("sharded", step, prof, chf, psd, len(blocks), centers)
+        return ("sharded", step, prof, wide, chf, psd, len(blocks),
+                centers)
 
     def captures_collect(self, pending) -> list:
         """Finish a ``captures_dispatch`` batch: host scan/task policy,
@@ -448,10 +761,12 @@ class Station:
             for b, c in zip(blocks, centers):
                 out.extend(self.process_capture(b, center_freq_hz=c))
             return out
-        _, step, prof, chf, psd, B, centers = pending
-        return self._collect_sharded(step, prof, chf, psd, B, centers)
+        _, step, prof, wide, chf, psd, B, centers = pending
+        return self._collect_sharded(step, prof, wide, chf, psd, B,
+                                     centers)
 
-    def _collect_sharded(self, step, prof, chf, psd, B, centers) -> list:
+    def _collect_sharded(self, step, prof, wide, chf, psd, B,
+                         centers) -> list:
         from radiosonde_auto_rx_tpu.parallel.station_step import \
             EXPERT_TYPES
         n_chan = prof.n_chan
@@ -463,32 +778,57 @@ class Station:
         tasks = {}                   # global cid -> (name, det)
         cand = []
         cand_strength = {}           # cid -> PSD dB at the channel
+        cid_off = {}                 # cid -> recentering offset (Hz)
+        rec = {}                     # cid -> extraction f_rel
+        collide = []                 # (b, f_abs): 2nd sonde in a channel
+        wide_host = []               # (b, f_abs): wideband candidates
         for b in range(B):
             self.center_freq = centers[b]
-            chans = self.scan_from_psd(psd_np[b]) if self.scan_enabled \
-                else []
-            forced = {}
+            self._offsets = {}
+            cands_b = (self.scan_from_psd(psd_np[b])
+                       if self.scan_enabled else [])
+            forced = {}              # ci -> (name, f_abs)
             for fz, name in self.manual_tasks.items():
                 if self.in_capture(fz):
-                    forced[self.channel_of_freq(fz)] = name
+                    forced[self.channel_of_freq(fz)] = (name, float(fz))
             for fz, st_a in self.active.items():
                 if self.in_capture(fz):
                     forced.setdefault(self.channel_of_freq(fz),
-                                      st_a["type"])
-            for ci, name in forced.items():
-                tasks[b * n_chan + ci] = (name, None)
+                                      (st_a["type"], float(fz)))
+            for ci, (name, f_abs) in forced.items():
+                cid = b * n_chan + ci
+                tasks[cid] = (name, None)
+                off = f_abs - self._chan_center(ci)
+                cid_off[cid] = off
+                if abs(off) >= RECENTER_MIN_HZ:
+                    rec[cid] = float(prof.freqs[ci]) + off
             db = 10.0 * np.log10(np.maximum(psd_np[b], 1e-20))
             nfft = db.shape[-1]
-            for ci in chans:
+            for ci, off in cands_b:
                 cid = b * n_chan + ci
-                if cid not in tasks:
-                    cand.append(cid)
-                    # channel ci's PSD neighborhood (for overflow rank)
-                    k = int(round(prof.freqs[ci] / self.fs_wide * nfft)
-                            ) + nfft // 2
-                    lo = max(0, k - nfft // (2 * n_chan))
-                    cand_strength[cid] = float(
-                        db[lo:k + nfft // (2 * n_chan) + 1].max())
+                fq = self._chan_center(ci) + off
+                if int(round(fq)) in self._wide_freqs:
+                    wide_host.append((b, fq))
+                    continue
+                if cid in tasks or cid in cid_off:
+                    # the channel's mesh row is taken: a second sonde
+                    # in the same 48 kHz channel rides the host
+                    # fallback (own extracted row, detect + decode)
+                    collide.append((b, fq))
+                    continue
+                cand.append(cid)
+                cid_off[cid] = off
+                if abs(off) >= RECENTER_MIN_HZ:
+                    rec[cid] = float(prof.freqs[ci]) + off
+                # the candidate's PSD neighborhood (for overflow rank)
+                k = int(round((prof.freqs[ci] + off) / self.fs_wide *
+                              nfft)) + nfft // 2
+                lo = max(0, k - nfft // (2 * n_chan))
+                cand_strength[cid] = float(
+                    db[lo:k + nfft // (2 * n_chan) + 1].max())
+        # recenter off-grid rows from the retained wideband blocks
+        # BEFORE confirmation/routing: downstream sees centered signals
+        chf = self._recenter_cids(chf, wide, prof, rec)
 
         # full-rate confirmation under the mesh: exact type decisions
         # (headcmp, M10/M20 + iMet disambiguation) identical to the
@@ -516,6 +856,33 @@ class Station:
                 self.stats["detections"] += 1
                 if det.name in CHAIN_TABLE or det.name in MODEL_NAME:
                     tasks[cid] = (det.name, det)
+                    # detector FM-DC refinement of the task frequency
+                    # (same rule as the single-device path)
+                    foff = det.freq_offset or 0.0
+                    if RECENTER_MIN_HZ <= abs(foff) <= 5e3:
+                        cid_off[cid] = cid_off.get(cid, 0.0) + foff
+
+        # spacing rule over the fresh detections (same sequential
+        # handle_scan_results semantics as _dedupe_tasks): forced tasks
+        # hold their ground, then stronger detections absorb weaker
+        # ones within decoder_spacing_limit
+        spacing = float(self.config.get("decoder_spacing_limit", 15e3))
+
+        def _task_fz(cid):
+            b, ci = divmod(cid, n_chan)
+            self.center_freq = centers[b]
+            return self._chan_center(ci) + cid_off.get(cid, 0.0)
+
+        kept = [_task_fz(cid) for cid, (_, det) in tasks.items()
+                if det is None]
+        for cid, (nm, det) in sorted(
+                ((c, v) for c, v in tasks.items() if v[1] is not None),
+                key=lambda kv: -kv[1][1].score):
+            fz = _task_fz(cid)
+            if any(abs(fz - g) < spacing for g in kept):
+                del tasks[cid]
+            else:
+                kept.append(fz)
 
         # expert routing over the mesh; non-expert types host-batched.
         # On a single ch shard there is nothing to route: the all-to-all
@@ -535,26 +902,88 @@ class Station:
         if (exp_ids >= 0).any():
             res = step.route_demod(chf, jnp.asarray(exp_ids))
             telems.extend(self._decode_routed(step, res, tasks, centers,
-                                              n_chan, int(chf.shape[-1])))
+                                              n_chan, int(chf.shape[-1]),
+                                              cid_off))
         for b, items in host_tasks.items():
             self.center_freq = centers[b]
+            self._offsets = {ci: cid_off.get(b * n_chan + ci, 0.0)
+                             for ci, _, _ in items}
+            self._cur_wide = wide[b]
             rows = chf[b * n_chan:(b + 1) * n_chan]
             for name, grp in self.group_tasks_by_type(
                     items, n_chan).items():
                 telems.extend(self.decode_channels(rows, grp, name))
+        # second-sonde-in-a-channel fallback: own extracted row through
+        # the single-channel detect + decode path
+        for b, f_abs in collide:
+            self.center_freq = centers[b]
+            self._cur_wide = wide[b]
+            telems.extend(self._process_collision(prof, wide[b], f_abs))
+        # wideband candidates (Weathex & friends): 96 kHz wide scan
+        for b, f_abs in wide_host:
+            self.center_freq = centers[b]
+            self._cur_wide = wide[b]
+            telems.extend(self._process_wide_candidate(prof, wide[b],
+                                                       f_abs))
         self.center_freq = centers[-1]
         return telems
 
+    def _process_collision(self, prof, planes, f_abs: float) -> list:
+        """Detect + decode one candidate whose channel row is already
+        owned by another task (two sondes >= decoder_spacing_limit apart
+        inside one 48 kHz channel): extract its recentered row from the
+        wideband block and run the single-channel path on it."""
+        ci = self.channel_of_freq(f_abs)
+        f_rel = f_abs - self.center_freq
+        row = extract_channels(planes, self.fs_wide, [f_rel],
+                               prof.n_chan, prof.pfb_taps)[0]
+        dets = prof.detector.detect(row[None], prescreen=False)[0]
+        if not dets:
+            return []
+        det = dets[0]
+        self.stats["detections"] += 1
+        name = det.name
+        if prof.wide and name == "RS92":
+            name = "RS92NGP"
+        if name not in CHAIN_TABLE and name not in MODEL_NAME:
+            return []
+        n_chan = prof.n_chan
+        self._offsets = {n_chan: float(f_abs)}   # virtual row
+        return self.decode_channels(row[None], [(0, det)], name,
+                                    chan_map={0: n_chan})
+
+    def _recenter_cids(self, chf, wide, prof, rec: dict):
+        """Scatter recentered extractions over the sharded channel rows
+        (``rec``: global cid -> extraction f_rel); slot count pads to a
+        power of two for compile stability."""
+        if not rec:
+            return chf
+        items = sorted(rec.items())
+        n = len(items)
+        S = 1 << max(0, int(np.ceil(np.log2(n))))
+        f_list = [f for _, f in items] + [0.0] * (S - n)
+        n_chan = prof.n_chan
+        blk = np.array([cid // n_chan for cid, _ in items] +
+                       [0] * (S - n), np.int32)
+        rows = np.array([cid for cid, _ in items] +
+                        [int(chf.shape[0])] * (S - n), np.int32)
+        xs = wide[jnp.asarray(blk)]                      # [S, 2, T]
+        ext = extract_channels(xs, self.fs_wide, f_list,
+                               n_chan, prof.pfb_taps)
+        return chf.at[jnp.asarray(rows)].set(ext, mode="drop")
+
     def _decode_routed(self, step, res, tasks, centers, n_chan,
-                       t_total) -> list:
+                       t_total, cid_off=None) -> list:
         """Host frame plane over ``route_demod`` outputs: slice each
         routed slot's valid bits/soft, apply the per-chain host tail
         (AFSK bit inversion), decode task-keyed by frequency."""
         from radiosonde_auto_rx_tpu.parallel.station_step import \
             EXPERT_TYPES
+        cid_off = cid_off or {}
         ids = np.asarray(res["ids"])
         mask = np.asarray(res["mask"])
         ebno = np.asarray(res["ebno"])
+        fres = np.asarray(res.get("fres")) if "fres" in res else None
         dropped = int(np.asarray(res["dropped"]).sum())
         if dropped:
             # capacity overflow: same loss mode as the reference when
@@ -568,14 +997,19 @@ class Station:
                 cid = int(ids[e, s])
                 b, ci = divmod(cid, n_chan)
                 self.center_freq = centers[b]
+                self._offsets = {ci: cid_off.get(cid, 0.0)}
                 fz = self.freq_of_channel(ci)
                 det = tasks.get(cid, (None, None))[1]
                 bits, soft = step.slot_bits(res, e, int(s), t_total)
                 if afsk:
                     bits, soft = 1 - bits, None
+                f_resid = None
+                if fres is not None and not afsk:
+                    f_resid = float(np.clip(fres[e, s], -2500.0, 2500.0))
                 try:
                     out.extend(self._decode_frames(
-                        fz, name, bits, soft, float(ebno[e, s]), det))
+                        fz, name, bits, soft, float(ebno[e, s]), det,
+                        f_resid=f_resid))
                 except Exception:
                     log.exception("decode failed on %.3f MHz (%s)",
                                   fz / 1e6, name)
@@ -632,6 +1066,8 @@ class Station:
 
     def decode_channel(self, iq_ch, ci: int, name: str, det=None) -> list:
         """Demod + decode one channel known to carry type ``name``."""
+        self._offsets = {}           # manual API: channel-center task
+        self._cur_wide = None        # no wideband block to extract from
         return self.decode_channels(
             jnp.asarray(iq_ch)[None], [(0, det)], name,
             chan_map={0: ci})
@@ -645,12 +1081,33 @@ class Station:
         chain = CHAIN_TABLE.get(name, dict(rs=4800, est=10000))
         fs = self.fs_ch
         if chain.get("wide_fs", 0) > fs:
-            log.warning("%s needs a %d Hz channel (station has %d Hz) — "
-                        "configure fewer, wider channels to decode it",
-                        name, chain["wide_fs"], fs)
-            return []
-        idx = [ci for ci, _ in items]
-        iq = ch[np.array(idx)] if chan_map is None else ch
+            # wideband chain on a narrow station: synthesize the wide
+            # channel on demand around each task frequency from the
+            # retained wideband block (the reference instead re-runs
+            # the whole SDR task at the chain's own sample rate,
+            # decode.py:846-1476 per-type rates)
+            wfs = int(chain["wide_fs"])
+            if self._cur_wide is None or self.fs_wide % wfs != 0:
+                log.warning(
+                    "%s needs a %d Hz channel (station capture %d Hz "
+                    "%s) — use a capture rate divisible by %d",
+                    name, wfs, self.fs_wide,
+                    "not retained" if self._cur_wide is None
+                    else "not divisible", wfs)
+                return []
+            n_dec = self.fs_wide // wfs
+            h = self._ex_taps.get(n_dec)
+            if h is None:
+                h = self._ex_taps.setdefault(n_dec, pfb_prototype(n_dec))
+            f_rel = [self.freq_of_channel(chan_map[ci] if chan_map
+                                          else ci) - self.center_freq
+                     for ci, _ in items]
+            iq = extract_channels(self._cur_wide, self.fs_wide, f_rel,
+                                  n_dec, h)
+            fs = wfs
+        else:
+            idx = [ci for ci, _ in items]
+            iq = ch[np.array(idx)] if chan_map is None else ch
         if "resample_to" in chain:
             from radiosonde_auto_rx_tpu.ops.resample import resample_planes
             iq = resample_planes(iq, fs, chain["resample_to"])
@@ -676,9 +1133,10 @@ class Station:
         out = []
         ebno = np.atleast_2d(np.asarray(stats["ebno_db"])) \
             if "ebno_db" in stats else None
+        resid = self._freq_residuals(stats, chain, len(items))
         if self.frame_plane.workers > 0:
             return self._decode_frames_pooled(items, name, bits_b, soft_b,
-                                              ebno, chan_map)
+                                              ebno, chan_map, resid)
         for j, (ci, det) in enumerate(items):
             real_ci = chan_map[ci] if chan_map else ci
             fz = self.freq_of_channel(real_ci)
@@ -686,7 +1144,8 @@ class Station:
                 out.extend(self._decode_frames(
                     fz, name, bits_b[j],
                     None if soft_b is None else soft_b[j],
-                    None if ebno is None else float(ebno[j].max()), det))
+                    None if ebno is None else float(ebno[j].max()), det,
+                    f_resid=resid[j] if resid is not None else None))
             except Exception:
                 # one bad channel/decoder must not kill the capture loop
                 # (reference isolates each decoder in its own subprocess)
@@ -694,8 +1153,35 @@ class Station:
                               fz / 1e6, name)
         return out
 
+    @staticmethod
+    def _freq_residuals(stats, chain, n_items):
+        """Per-channel carrier-offset residual (Hz) from the demod's
+        tone-frequency estimates: the tone mean of a (symmetric) FSK
+        pair is the carrier offset from the demod center.  This is the
+        drift signal the reference's decoders track via the Df rotate
+        (demod_mod.c:758-761); the station applies it to the task
+        frequency after a successful decode (``_post_frames``).  AFSK
+        chains carry no carrier info in their audio tones."""
+        if chain.get("afsk") or "f_est" not in stats:
+            return None
+        fe = np.asarray(stats["f_est"], np.float32)  # [C, nb, M]
+        eb = np.atleast_2d(np.asarray(stats["ebno_db"], np.float32))
+        if fe.ndim == 2:
+            fe = fe[None]
+        cen = fe.mean(axis=2, dtype=np.float32)      # [C, nb]
+        resid = np.zeros(n_items)
+        for j in range(min(n_items, cen.shape[0])):
+            # same locked-block rule as the routed path (station_step
+            # route_demod fres): within 10 dB of the best block, > 3 dB
+            good = eb[j] > max(3.0, float(eb[j].max()) - 10.0)
+            if good.any():
+                resid[j] = float(np.clip(
+                    np.float32(cen[j] * good).sum() /
+                    max(float(good.sum()), 1.0), -2500.0, 2500.0))
+        return resid
+
     def _decode_frames_pooled(self, items, name, bits_b, soft_b, ebno,
-                              chan_map) -> list:
+                              chan_map, resid=None) -> list:
         """Fan this type's channels out to the frame-plane workers, then
         run the light main-process tail (enrich/filter/export) in ticket
         order so output ordering matches the inline path."""
@@ -709,18 +1195,19 @@ class Station:
                 fz, model_name, self._decoder_kwargs(name, model_name),
                 bits_b[j], soft)
             meta[ticket] = (fz, det,
-                            None if ebno is None else float(ebno[j].max()))
+                            None if ebno is None else float(ebno[j].max()),
+                            resid[j] if resid is not None else None)
         results = self.frame_plane.gather()
         out = []
         for ticket in sorted(meta):
-            fz, det, snr_db = meta[ticket]
+            fz, det, snr_db, f_resid = meta[ticket]
             state = self.active.get(fz)
             if state is None or state["type"] != name:
                 state = dict(type=name, decoder=None, last_ok=0.0)
                 self.active[fz] = state
             out.extend(self._post_frames(fz, state,
                                          results.get(ticket, []),
-                                         snr_db, det))
+                                         snr_db, det, f_resid))
         return out
 
     def _decoder_kwargs(self, name, model_name) -> dict:
@@ -743,7 +1230,8 @@ class Station:
                 kwargs["ephemeris"] = eph
         return kwargs
 
-    def _decode_frames(self, fz, name, bits, soft, snr_db, det) -> list:
+    def _decode_frames(self, fz, name, bits, soft, snr_db, det,
+                       f_resid=None) -> list:
         """Host frame plane for one channel (task-keyed by absolute
         frequency ``fz``): decoder state, frame decode,
         enrich/filter/export."""
@@ -764,9 +1252,11 @@ class Station:
 
         raw_telems = decoder.decode_bits(
             bits, None if soft is None else -soft)
-        return self._post_frames(fz, state, raw_telems, snr_db, det)
+        return self._post_frames(fz, state, raw_telems, snr_db, det,
+                                 f_resid)
 
-    def _post_frames(self, fz, state, raw_telems, snr_db, det) -> list:
+    def _post_frames(self, fz, state, raw_telems, snr_db, det,
+                     f_resid=None) -> list:
         """Main-process telemetry tail: enrich, filter, export, task
         bookkeeping.  Shared by the inline and pooled frame planes."""
         freq_hz = float(fz)
@@ -798,6 +1288,16 @@ class Station:
                     exporter.add(t)
                 except Exception:
                     log.exception("exporter error")
+        if out and f_resid is not None:
+            # follow the sonde's drift: the demod measured its carrier
+            # ``f_resid`` Hz above the task frequency — retune the task
+            # (the recentering NCO tracks it next block, as the
+            # reference's Df rotate does inside each decoder).  100 Hz
+            # rounding keeps the two (host/routed) residual computations
+            # convergent despite float summation-order differences.
+            f_resid = round(f_resid, -2)
+            if abs(f_resid) >= DRIFT_MIN_HZ:
+                self._retune(fz, fz + f_resid)
         return out
 
     def _drop_channel(self, fz, encrypted=False):

@@ -296,7 +296,7 @@ def test_station_only_scan_whitelist():
     rng = np.random.default_rng(0)
     wide = (rng.standard_normal((2, 240_000)) * 0.01).astype(np.float32)
     chans = st.scan(wide)
-    assert chans == [3]
+    assert chans == [(3, 0.0)]
 
 
 def test_station_dfm_true_baud_channel():
