@@ -80,23 +80,56 @@ def telemetry_filter(telemetry: dict, config: dict):
     if abs(delta) > 3600 * config["sonde_time_threshold"]:
         return False
 
-    serial = telemetry["id"]
-    typ = telemetry["type"]
-    vaisala_ok = bool(VAISALA_SERIAL_RE.match(serial))
-
-    def _has_id(prefix_types):
-        return any(p in typ for p in prefix_types) and \
-            "x" not in serial.split("-")[-1]
-
-    dfm_ok = _has_id(("DFM", "PS15"))
-    meisei_ok = _has_id(("MEISEI", "IMS100", "RS11G"))
-    mrz_ok = _has_id(("MRZ",))
-    drop_ok = ("RD41" in typ or "RD94" in typ) and serial != "000000000"
-
-    if (vaisala_ok or dfm_ok or meisei_ok or mrz_ok or drop_ok
-            or "M10" in typ or "M20" in typ or "LMS" in typ
-            or "IMET" in typ or "MTS01" in typ or "WXR" in typ):
+    if _serial_valid(telemetry["id"], telemetry["type"]):
         return "OK"
+    return False
+
+
+# Per-type serial formats, derived from what each frame decoder can
+# legitimately emit (reference auto_rx.py:566-725 validates Vaisala /
+# DFM / Meisei / MRZ / dropsonde serials and passes the remaining types
+# through on type alone; the formats below additionally pin those
+# pass-through types to their decoders' actual serial grammar — M10/M20
+# "XXX-X-XXXXX", numeric LMS/WXR, synthetic iMet IDs — so a corrupted
+# frame that survives its checksum cannot reach the exporters with a
+# malformed ID).
+_SERIAL_RES = {
+    # Meteomodem: <hex><2 digits>-<hex>-<5 digits> (m10mod.c serial
+    # composition; models/m10.py:244,461)
+    "M10": re.compile(r"M10-[0-9A-F]\d{2}-[0-9A-F]-\d{5}$"),
+    "M20": re.compile(r"M20-\d{3,4}-\d-\d{5}$"),
+    "LMS": re.compile(r"LMS6-\d+$"),
+    # iMet: the station's synthetic SHA id (sonde_specific.imet_unique
+    # _id) or the iMet-54's numeric serial
+    "IMET5": re.compile(r"IMET5-\d+$"),
+    "IMET": re.compile(r"IMET-[0-9A-F]{8}$"),
+    "MTS01": re.compile(r"MTS01-[0-9A-Za-z]+$"),
+    "WXR": re.compile(r"WXR-\d+$"),
+    "DFM": re.compile(r"(DFM|PS15)\w*-\d+$"),
+    "MRZ": re.compile(r"MRZ-\d+-\d+$"),
+    "MEISEI": re.compile(r"(IMS100|RS11G|MEISEI)-\d+$"),
+}
+# subtype names carried in the type field map to the Meisei grammar
+_SERIAL_RES["IMS100"] = _SERIAL_RES["RS11G"] = _SERIAL_RES["MEISEI"]
+
+
+def _serial_valid(serial: str, typ: str) -> bool:
+    """Reference serial checks (auto_rx.py:566-725) tightened to each
+    decoder's real serial grammar."""
+    if VAISALA_SERIAL_RE.match(serial):
+        return True
+    if "RD41" in typ or "RD94" in typ:
+        # uninitialised dropsondes transmit an all-zero serial
+        return bool(re.match(r"\d{9}$", serial)) and \
+            serial != "000000000"
+    # most-specific type key first (IMET5 before IMET)
+    for key in sorted(_SERIAL_RES, key=len, reverse=True):
+        if key in typ:
+            if _SERIAL_RES[key].match(serial) is None:
+                return False
+            # DFM/Meisei/MRZ additionally must not carry the decoder's
+            # no-serial-yet placeholder (reference 'x' checks)
+            return "x" not in serial.split("-")[-1]
     return False
 
 

@@ -620,12 +620,31 @@ CASES = {"RS41": _rs41_case, "DFM": _dfm_case, "M10": _m10_case,
          "IMET4": _imet4_case, "WXRPN9": _wxrpn9_case}
 
 
-def _make_iq(case: Case, ebno_db: float, rng):
+def _make_iq(case: Case, ebno_db: float, rng, f_off: float = 0.0,
+             n_up: int = 4):
     idle = _idle(600, case.idle_run)
     # generous tail so the demod's clipped nmem + one-block tail never
     # cuts the last frame
     tail = _idle(1400, case.idle_run)
     tx = np.concatenate([idle, case.tx_bits, tail])
+    if f_off:
+        # off-grid point: synthesize at n_up x the channel rate with
+        # the carrier f_off Hz off the channel center, then pull the
+        # channel back through the SAME recentered polyphase extraction
+        # the station uses for off-grid candidates
+        # (ops/channelizer.extract_channels; round-4 verdict #7) — the
+        # PER then includes any recentering loss.
+        from radiosonde_auto_rx_tpu.ops.channelizer import \
+            extract_channels
+        assert case.mod is None, "off-grid PER needs the gfsk modulator"
+        fs_wide = case.fs * n_up
+        clean = gfsk_mod(tx, fs_wide, case.rs, 2, f_off, case.spacing,
+                         bt=case.bt, ppm=case.ppm)
+        wide = add_awgn(clean, ebno_db, fs_wide, case.rs, rng=rng)
+        planes = np.stack([wide.real, wide.imag]).astype(np.float32)
+        ext = np.asarray(extract_channels(planes, fs_wide, [f_off],
+                                          n_up)).astype(np.float32)[0]
+        return (ext[0] + 1j * ext[1]).astype(np.complex64)
     clean = (case.mod(tx) if case.mod is not None else
              gfsk_mod(tx, case.fs, case.rs, 2, 0.0, case.spacing,
                       bt=case.bt, ppm=case.ppm))
@@ -633,16 +652,20 @@ def _make_iq(case: Case, ebno_db: float, rng):
 
 
 def run_point(sonde_type: str, ebno_db: float, n_frames: int = 100,
-              seed: int = 0, chains=("tpu",), workdir=None):
+              seed: int = 0, chains=("tpu",), workdir=None,
+              f_off: float = 0.0):
     """One PER measurement per requested chain.  Returns a list of
-    dict(type, chain, ebno_db, frames_tx, frames_rx, per, runtime_s)."""
+    dict(type, chain, ebno_db, frames_tx, frames_rx, per, runtime_s).
+    ``f_off`` (Hz) synthesizes the carrier off the channel center and
+    demodulates through the station's recentered extraction (tpu chain
+    only — the reference chain always tunes to the carrier)."""
     rng = np.random.default_rng(seed)
     own_dir = None
     if workdir is None and "ref" in chains:
         own_dir = tempfile.TemporaryDirectory()
         workdir = own_dir.name
     case = CASES[sonde_type](n_frames, rng, workdir)
-    iq = _make_iq(case, ebno_db, rng)
+    iq = _make_iq(case, ebno_db, rng, f_off=f_off)
     rows = []
     try:
         for chain in chains:
@@ -672,7 +695,7 @@ def run_point(sonde_type: str, ebno_db: float, n_frames: int = 100,
                              ebno_db=ebno_db, frames_tx=n_frames,
                              frames_rx=len(rx_ids),
                              per=1.0 - len(rx_ids) / n_frames,
-                             runtime_s=round(dt, 3)))
+                             runtime_s=round(dt, 3), f_off=f_off))
     finally:
         if own_dir is not None:
             own_dir.cleanup()

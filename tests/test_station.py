@@ -77,6 +77,36 @@ def test_telemetry_filter_rejects():
     assert telemetry_filter(_telem(datetime_dt=old), cfg) is False
 
 
+@pytest.mark.parametrize("typ,good,bad", [
+    # per-type serial grammar (round-4 verdict #4; reference
+    # auto_rx.py:566-725 plus the decoders' actual formats)
+    ("RS41", "S1234567", "1234567"),
+    ("RS41", "P0351234", "s1234567"),
+    ("RS92", "M1234567", "M123456"),
+    ("M10", "M10-305-3-11234", "M10-GARBAGE"),
+    ("M10", "M10-A05-3-11234", "M10-305-3-1123"),
+    ("M20", "M20-305-3-11234", "M20-3Q5-3-11234"),
+    ("LMS6", "LMS6-7654321", "LMS6-76X4321"),
+    ("DFM", "DFM-21054321", "DFM-xxxxxxxx"),
+    ("DFM09", "DFM-19123456", "DFM-"),
+    ("IMET5", "IMET5-54001234", "IMET5-54x01234"),
+    ("IMET4", "IMET-1A2B3C4D", "IMET-NOTHEX0"),
+    ("MTS01", "MTS01-T7654321", "MTS01-"),
+    ("WXR301", "WXR-30112233", "WXR-30112x33"),
+    ("MRZ", "MRZ-30112-21055", "MRZ-30112-xxxxx"),
+    ("IMS100", "IMS100-2304123", "IMS100-xxxxxx"),
+    ("RS11G", "RS11G-1234567", "RS11G-"),
+    ("RD94", "123456789", "000000000"),
+    ("RD41", "987654321", "98765432"),
+])
+def test_telemetry_filter_serial_formats(typ, good, bad):
+    cfg = default_config()
+    assert telemetry_filter(_telem(type=typ, id=good), cfg) == "OK", \
+        (typ, good)
+    assert telemetry_filter(_telem(type=typ, id=bad), cfg) is False, \
+        (typ, bad)
+
+
 def test_telemetry_filter_radius_block():
     cfg = default_config()
     cfg.update(station_lat=-34.0, station_lon=138.0,
