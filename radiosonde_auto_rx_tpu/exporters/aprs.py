@@ -112,7 +112,16 @@ def generate_station_object(callsign, lat, lon,
 
 
 class APRSUploader:
-    """Queue-fed APRS-IS uploader (network side is best-effort)."""
+    """Queue-fed APRS-IS igate client.
+
+    Matches the reference's connection discipline (reference
+    auto_rx/autorx/aprs.py:415-560): ONE persistent TCP connection with
+    a single login (plus inbound-traffic filters), re-established after
+    ``reconnect_minutes`` or on any send error; uploads retry up to
+    ``retries`` times with a reconnect between attempts; the upload
+    timer is synchronized to wall-clock multiples of ``upload_rate``
+    (reference :642 ``upload_timer``) so packet timestamps across
+    stations land in the same slots."""
 
     def __init__(self, aprs_callsign="N0CALL", aprs_passcode="00000",
                  server="radiosondy.info", port=14580,
@@ -123,7 +132,8 @@ class APRSUploader:
                  station_beacon_position=(0.0, 0.0, 0.0),
                  station_beacon_comment="radiosonde_auto_rx SondeGate "
                                         "v<version>",
-                 station_beacon_icon="/r"):
+                 station_beacon_icon="/r",
+                 reconnect_minutes=25, retries=5, timeout=10.0):
         self.station_beacon = dict(
             enabled=station_beacon, rate=station_beacon_rate,
             position=station_beacon_position,
@@ -138,8 +148,17 @@ class APRSUploader:
         self.position_report = position_report
         self.upload_rate = upload_rate
         self.callsign_validity_threshold = callsign_validity_threshold
+        self.reconnect_minutes = reconnect_minutes
+        self.retries = int(retries)
+        self.timeout = timeout
         self.observed_payloads = {}
         self.latest = {}
+        self._sock = None
+        self._lastconnect = 0.0
+        self._lock = threading.Lock()
+        # synchronized slots: first upload at the next wall-clock
+        # multiple of upload_rate (reference aprs.py:642)
+        self._next_upload = (time.time() // upload_rate + 1) * upload_rate
         self.running = False
         self._thread = None
         if start_thread:
@@ -155,13 +174,23 @@ class APRSUploader:
 
     def _loop(self):
         while self.running:
-            time.sleep(self.upload_rate)
+            time.sleep(0.5)
+            now = time.time()
+            if now < self._next_upload:
+                continue
+            # re-align (never drift, never burst after a stall)
+            self._next_upload = \
+                (now // self.upload_rate + 1) * self.upload_rate
             for sid, telem in list(self.latest.items()):
                 pkt, name = telemetry_to_aprs_position(
                     telem, self.object_name_override, self.object_comment,
                     self.position_report)
                 if pkt:
-                    self.upload_packet(pkt)
+                    # position reports igate under the sonde's own call;
+                    # objects are sourced by the station callsign
+                    # (reference aprs.py:630-636)
+                    self.upload_packet(
+                        pkt, source=name if self.position_report else None)
                 del self.latest[sid]
             self.beacon_station_position()
 
@@ -186,24 +215,116 @@ class APRSUploader:
             self.station_beacon["icon"], position_report=True)
         self.upload_packet(pkt)
 
-    def upload_packet(self, packet: str):
-        """One login + packet to the igate (reference aprs.py:415-500)."""
+    # ------------------------------------------------------------------ #
+    # igate connection discipline (reference aprs.py:415-560)
+
+    def connect(self) -> bool:
+        """Open the persistent APRS-IS connection and log in once."""
         try:
-            s = socket.create_connection((self.server, self.port), timeout=10)
-            s.recv(1024)
-            login = "user %s pass %s vers radiosonde_auto_rx_tpu 0.1\r\n" % (
+            s = socket.create_connection((self.server, self.port),
+                                         timeout=self.timeout)
+            s.settimeout(self.timeout)
+            login = "user %s pass %s vers radiosonde_auto_rx_tpu\r\n" % (
                 self.callsign, self.passcode)
-            s.sendall(login.encode())
-            s.recv(1024)
-            frame = "%s>APRARX,SONDEGATE,TCPIP,qAR,%s:%s\r\n" % (
-                self.callsign, self.callsign, packet)
-            s.sendall(frame.encode())
-            s.close()
+            s.sendall(login.encode("ascii"))
+            # limit inbound bandwidth (the igate otherwise streams us
+            # the whole feed; reference sets the same filters)
+            s.sendall(b"#filter p/ZZ\r\n")
+            s.sendall(b"#filter -t/po\r\n")
+            resp = s.recv(1024).decode("ascii", "replace").strip()
+            if not resp.startswith("#"):
+                raise IOError("invalid APRS-IS response: %r" % resp[:80])
+            self._sock = s
+            self._lastconnect = time.time()
             return True
+        except OSError as e:
+            import logging
+            logging.getLogger("aprs").warning(
+                "APRS-IS connect failed: %s", e)
+            self._sock = None
+            return False
+
+    def disconnect(self):
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None
+
+    def upload_packet(self, packet: str, source: str | None = None,
+                      igate: bool = True) -> bool:
+        """Upload one packet over the held connection, retrying with a
+        reconnect between attempts (reference aprsis_upload
+        :479-545)."""
+        src = source or self.callsign
+        if igate:
+            frame = "%s>APRARX,SONDEGATE,TCPIP,qAR,%s:%s\r\n" % (
+                src, self.callsign, packet)
+        else:
+            frame = "%s>APRS:%s\r\n" % (src, packet)
+        with self._lock:
+            # periodic reconnect: igates silently drop idle/stale
+            # connections (reference aprsis_reconnect, default 25 min)
+            if self._sock is not None and \
+                    time.time() - self._lastconnect > \
+                    self.reconnect_minutes * 60:
+                self.disconnect()
+                self.connect()
+            for attempt in range(self.retries):
+                try:
+                    if self._sock is None:
+                        raise IOError("not connected")
+                    self._sock.sendall(frame.encode("ascii"))
+                    # a dropped connection accepts one last sendall into
+                    # the dead kernel buffer — EOF shows up as
+                    # readable-with-empty-recv; verify before declaring
+                    # the packet delivered (a rare duplicate on the
+                    # race is harmless — igates dedupe)
+                    if not self._alive_after_send():
+                        raise IOError("connection closed by igate")
+                    return True
+                except OSError as e:
+                    import logging
+                    logging.getLogger("aprs").warning(
+                        "APRS-IS upload error (attempt %d/%d): %s",
+                        attempt + 1, self.retries, e)
+                    self.disconnect()
+                    if attempt + 1 < self.retries:
+                        time.sleep(min(0.25 * 2 ** attempt, 2.0))
+                        self.connect()
+            return False
+
+    def _alive_after_send(self) -> bool:
+        """Post-send liveness: drain any igate chatter; an EOF read
+        means the peer closed before/while we sent."""
+        import select
+        try:
+            while True:
+                r, _, _ = select.select([self._sock], [], [], 0.05)
+                if not r:
+                    return True
+                if not self._sock.recv(4096):
+                    return False
         except OSError:
             return False
+
+    def flush_rx(self):
+        """Drain any inbound igate chatter (reference flush_rx)."""
+        if self._sock is None:
+            return
+        try:
+            self._sock.setblocking(False)
+            try:
+                self._sock.recv(32768)
+            finally:
+                self._sock.setblocking(True)
+                self._sock.settimeout(self.timeout)
+        except OSError:
+            pass
 
     def close(self):
         self.running = False
         if self._thread:
             self._thread.join(timeout=2)
+        self.disconnect()
