@@ -555,7 +555,15 @@ def main():
         # Station._collect_sharded dispatches them (worst-case full
         # confirmation slots every block)
         pr_msps, pr_ms, pr_extra = bench_station_production(on_tpu)
+        # schema note (round-5): the production-model number now has its
+        # own key; ``station_step_msps_wideband`` was bound to the r3
+        # all-channel model through BENCH_r03 and to the production
+        # model in BENCH_r04 only — cross-round consumers should read
+        # ``station_step_msps_production`` (new) or the r3 continuity
+        # key below
+        extra["station_step_msps_production"] = round(pr_msps, 3)
         extra["station_step_msps_wideband"] = round(pr_msps, 3)
+        extra["bench_schema"] = 2
         extra["station_step_vs_baseline"] = round(pr_msps / BASELINE_MSPS,
                                                   2)
         extra["station_step_ms"] = round(pr_ms, 2)

@@ -70,11 +70,19 @@ def gfsk_mod(bits: np.ndarray, fs: int, rs: int, m: int, f_centre: float,
 
 def add_awgn(iq: np.ndarray, ebno_db: float, fs: int, rs: int,
              bits_per_symbol: int = 1, rng: np.random.Generator | None = None,
-             normalise: bool = True) -> np.ndarray:
+             normalise: bool = True,
+             ref_power: float | None = None) -> np.ndarray:
     """Add complex AWGN for an exact Eb/N0 given the baud rate
-    (reference auto_rx/test/generate_lowsnr.py:82-98)."""
+    (reference auto_rx/test/generate_lowsnr.py:82-98).
+
+    ``ref_power`` overrides the signal-power estimate (default
+    ``np.var(iq)``).  np.var subtracts the complex mean — for a
+    baseband burst with a strong DC line (alternating idle) that is
+    NOT the carrier power, so measurements that must share one Eb/N0
+    convention across carrier offsets pass the baseband variance here
+    (a signal at f_off has zero mean, so its var is the full power)."""
     rng = rng or np.random.default_rng(0)
-    var = np.var(iq)
+    var = np.var(iq) if ref_power is None else ref_power
     ebno = 10.0 ** (ebno_db / 10.0)
     nvar = var * fs / (rs * ebno * bits_per_symbol)
     noise = np.sqrt(nvar / 2.0) * (

@@ -328,7 +328,8 @@ class BlockSource:
             # ka9q.py:84-131)
             if self.settings.get("sdr_type") == "KA9Q":
                 try:
-                    from radiosonde_auto_rx_tpu.sources.sdr_wrappers                         import shutdown_sdr
+                    from radiosonde_auto_rx_tpu.sources.sdr_wrappers \
+                        import shutdown_sdr
                     shutdown_sdr("KA9Q",
                                  self.settings.get("sdr_hostname", ""),
                                  self.center_hz)

@@ -640,7 +640,17 @@ def _make_iq(case: Case, ebno_db: float, rng, f_off: float = 0.0,
         fs_wide = case.fs * n_up
         clean = gfsk_mod(tx, fs_wide, case.rs, 2, f_off, case.spacing,
                          bt=case.bt, ppm=case.ppm)
-        wide = add_awgn(clean, ebno_db, fs_wide, case.rs, rng=rng)
+        # calibrate noise against the BASEBAND variance so off-grid
+        # points share the centered sweep's Eb/N0 convention: np.var
+        # subtracts the mean, and a centered burst with alternating
+        # idle carries a large DC line (|mean| ~ 0.4 for RS41), so
+        # var(centered) < E|x|^2 = var(offset) — without this the
+        # centered curves sit ~0.7 dB flattered vs any offset point
+        cal = float(np.var(gfsk_mod(tx, case.fs, case.rs, 2, 0.0,
+                                    case.spacing, bt=case.bt,
+                                    ppm=case.ppm)))
+        wide = add_awgn(clean, ebno_db, fs_wide, case.rs, rng=rng,
+                        ref_power=cal)
         planes = np.stack([wide.real, wide.imag]).astype(np.float32)
         ext = np.asarray(extract_channels(planes, fs_wide, [f_off],
                                           n_up)).astype(np.float32)[0]

@@ -33,14 +33,22 @@ def log_filename_to_stats(filename: str) -> dict | None:
 
 def list_log_files(log_directory="./log/", quicklook=False) -> list:
     out = []
+    seen = set()
     for f in sorted(glob.glob(os.path.join(log_directory, "*_sonde.log")),
                     reverse=True):
         entry = log_filename_to_stats(f)
         if entry is None:
             continue
+        seen.add(f)
         if quicklook:
             entry.update(log_quick_look(f) or {})
         out.append(entry)
+    # evict cache entries for rotated/archived logs: a long-running
+    # station otherwise retains (mtime, stats) for every path it ever
+    # listed
+    for path in list(_QUICKLOOK_CACHE):
+        if path not in seen and not os.path.exists(path):
+            del _QUICKLOOK_CACHE[path]
     return out
 
 

@@ -344,11 +344,14 @@ class WebServer:
                     self.wfile.flush()
 
                 t_seq = 0
-                # log cursor: the client passes the seq it got from
-                # /get_log_lines so nothing logged between that fetch
-                # and this connect is lost; default to the current
-                # total (replaying the whole ring would duplicate the
-                # fetched backlog on every reconnect)
+                # log cursor contract: the client passes the seq it got
+                # from /get_log_lines so nothing logged between that
+                # fetch and this connect is lost.  No ``log_seen``
+                # param = live tail only (from now; replaying the whole
+                # ring would duplicate the fetched backlog on every
+                # reconnect); an EXPLICIT ``log_seen=0`` requests the
+                # full ring replay (the pre-r4 behavior, for clients
+                # that skip the /get_log_lines handshake).
                 now_total = outer.log_handler.total \
                     if outer.log_handler is not None else 0
                 try:
