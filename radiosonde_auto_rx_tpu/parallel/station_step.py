@@ -583,6 +583,80 @@ class ShardedStationStep:
                     ids=ids[:self.n_exp], mask=mask[:self.n_exp],
                     dropped=dropped)
 
+    # ------------------------------------------------------------------ #
+    # fused steady-state step (round-4 verdict #6): in the overwhelmingly
+    # common block — task state unchanged, no new candidates — the whole
+    # device cycle is ONE program: channelize + PSD + recentered
+    # extraction of the forced rows + per-type demod of the active
+    # channels.  The host applies its scan/task policy AFTER dispatch;
+    # blocks where the policy disagrees with the speculation fall back
+    # to the split confirm/route path per channel (station/station.py
+    # _collect_sharded).  The jit key includes the static ``plan``
+    # (type, padded-count) tuple — active sets change rarely, so the
+    # compile cache covers operation after the first appearance of each
+    # type mix.
+
+    def _chain_for(self, name: str):
+        """(cfg, resample_to, afsk) demod chain for a type — identical
+        construction to Station.decode_channels."""
+        cache = getattr(self, "_chain_cache", None)
+        if cache is None:
+            cache = self._chain_cache = {}
+        if name not in cache:
+            from radiosonde_auto_rx_tpu.station.station import (
+                CHAIN_TABLE, _demod_cfg)
+            chain = CHAIN_TABLE[name]
+            rs_to = chain.get("resample_to")
+            afsk = bool(chain.get("afsk"))
+            if afsk:
+                from radiosonde_auto_rx_tpu.models.imet4 import \
+                    afsk_demod_config
+                cfg = afsk_demod_config(self.fs_ch)
+                rs_to = None
+            else:
+                cfg = _demod_cfg(rs_to or self.fs_ch, chain["rs"],
+                                 chain.get("est", 10000),
+                                 chain.get("mask", 0))
+            cache[name] = (cfg, rs_to, afsk)
+        return cache[name]
+
+    @partial(jax.jit, static_argnames=("self", "plan"))
+    def steady_step(self, wide, idx, blk, rows, ph_m, ph_r, plan):
+        """One fused program: analyze + forced-row recentering +
+        per-type demod of the predicted active channels.
+
+        wide: [B, 2, T]; idx: [K] global channel ids concatenated per
+        plan entry (pad entries repeat a valid id and are dropped on
+        the host); blk/rows/ph_m/ph_r: recentering slots (shape-[0]
+        arrays when nothing is off-grid); plan: static tuple of
+        (type_name, count).  Returns (chf, psd, {type: (soft, bits,
+        stats)})."""
+        chf, psd, _ = self.analyze(wide, screen=False)
+        if rows.shape[0]:
+            from radiosonde_auto_rx_tpu.ops.channelizer import _extract
+            xs = wide[blk]
+            ext = _extract(xs, self.taps, ph_m, ph_r, self.n_chan)
+            chf = chf.at[rows].set(ext.astype(chf.dtype), mode="drop")
+        outs = {}
+        off = 0
+        for name, n in plan:
+            rows_t = idx[off:off + n]
+            off += n
+            cfg, rs_to, afsk = self._chain_for(name)
+            x = chf[rows_t]
+            if rs_to:
+                x = resample_planes(x, self.fs_ch, rs_to)
+            if afsk:
+                from radiosonde_auto_rx_tpu.models.imet4 import \
+                    afsk_fm_audio
+                audio = afsk_fm_audio(x, self.fs_ch)
+                x = jnp.stack([audio, jnp.zeros_like(audio)], axis=1)
+            from radiosonde_auto_rx_tpu.demod.fsk import fsk_demod_stream
+            soft, bits, stats, _ = fsk_demod_stream(cfg, x,
+                                                    buffered=True)
+            outs[name] = (soft, bits, stats)
+        return chf, psd, outs
+
     def bits_lens(self, t_total: int):
         """Host helper: per-expert valid soft/bits length for a GLOBAL
         channel-sample count ``t_total`` (the [E, S, L] outputs

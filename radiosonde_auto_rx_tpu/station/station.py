@@ -745,12 +745,83 @@ class Station:
         wide = jnp.stack(list(planes) +
                          [jnp.zeros_like(planes[0])] * (B_pad -
                                                         len(blocks)))
+        if self.mesh.size == 1 and \
+                bool(self.config.get("fused_steady_step", True)):
+            return self._dispatch_steady(step, prof, wide, len(blocks),
+                                         centers)
         # screen=False: candidates come from the PSD scan peaks and go
         # straight to the full-rate confirm pass (screening all channels
         # costs more than confirming <= max_peaks candidates exactly)
         chf, psd, _ = step.analyze(wide, screen=False)
         return ("sharded", step, prof, wide, chf, psd, len(blocks),
                 centers)
+
+    def _dispatch_steady(self, step, prof, wide, B, centers):
+        """Speculative fused dispatch (round-4 verdict #6): predict the
+        block's tasks from current task state and run channelize + PSD
+        + forced-row recentering + per-type demod as ONE device program.
+        ``captures_collect`` validates the prediction against the real
+        scan policy; mismatched channels re-demodulate via the split
+        path (the overwhelmingly common block matches)."""
+        n_chan = prof.n_chan
+        pred = {}                    # cid -> (name, f_abs)
+        rec = {}                     # cid -> extraction f_rel
+        for b in range(B):
+            self.center_freq = centers[b]
+            for fz, name in self.manual_tasks.items():
+                if self.in_capture(fz):
+                    ci = self.channel_of_freq(fz)
+                    pred.setdefault(b * n_chan + ci, (name, float(fz)))
+            for fz, st_a in self.active.items():
+                if self.in_capture(fz):
+                    ci = self.channel_of_freq(fz)
+                    pred.setdefault(b * n_chan + ci,
+                                    (st_a["type"], float(fz)))
+        type_cids = {}
+        for cid, (name, f_abs) in pred.items():
+            b, ci = divmod(cid, n_chan)
+            chain = CHAIN_TABLE.get(name)
+            if chain is None or chain.get("wide_fs", 0) > prof.fs_ch:
+                continue             # wide chains extract per-task
+            type_cids.setdefault(name, []).append(cid)
+            off = f_abs - (centers[b] + float(prof.freqs[ci]))
+            if abs(off) >= RECENTER_MIN_HZ:
+                rec[cid] = float(prof.freqs[ci]) + off
+        # static plan with power-of-two padded counts (pads repeat the
+        # first id — dropped on the host) so the compile cache covers
+        # active-set sizes in O(log) signatures per type mix
+        plan, idx, fused_pos = [], [], {}
+        for name in sorted(type_cids):
+            cids = sorted(type_cids[name])
+            n = 1 << max(0, int(np.ceil(np.log2(len(cids)))))
+            fused_pos.update({cid: (name, k)
+                              for k, cid in enumerate(cids)})
+            plan.append((name, n))
+            idx.extend(cids + [cids[0]] * (n - len(cids)))
+        # recentering slot arrays (power-of-two padded)
+        items = sorted(rec.items())
+        S = (1 << max(0, int(np.ceil(np.log2(len(items)))))) \
+            if items else 0
+        T = int(wide.shape[-1])
+        M = T // n_chan
+        ph_m = np.zeros((S, M), np.float32)
+        ph_r = np.zeros((S, n_chan), np.float32)
+        blk = np.zeros(S, np.int32)
+        rows = np.full(S, int(wide.shape[0]) * n_chan, np.int32)
+        for s, (cid, f_rel) in enumerate(items):
+            from radiosonde_auto_rx_tpu.ops.channelizer import \
+                extract_phases
+            ph_m[s], ph_r[s] = extract_phases(f_rel, self.fs_wide, T,
+                                              n_chan)
+            blk[s] = cid // n_chan
+            rows[s] = cid
+        chf, psd, fused = step.steady_step(
+            wide, jnp.asarray(np.asarray(idx, np.int32)),
+            jnp.asarray(blk), jnp.asarray(rows),
+            jnp.asarray(ph_m), jnp.asarray(ph_r), tuple(plan))
+        return ("steady", step, prof, wide, chf, psd, B, centers,
+                dict(pred=pred, rec=rec, fused=fused,
+                     fused_pos=fused_pos))
 
     def captures_collect(self, pending) -> list:
         """Finish a ``captures_dispatch`` batch: host scan/task policy,
@@ -761,12 +832,16 @@ class Station:
             for b, c in zip(blocks, centers):
                 out.extend(self.process_capture(b, center_freq_hz=c))
             return out
+        if pending[0] == "steady":
+            _, step, prof, wide, chf, psd, B, centers, sinfo = pending
+            return self._collect_sharded(step, prof, wide, chf, psd, B,
+                                         centers, steady=sinfo)
         _, step, prof, wide, chf, psd, B, centers = pending
         return self._collect_sharded(step, prof, wide, chf, psd, B,
                                      centers)
 
     def _collect_sharded(self, step, prof, wide, chf, psd, B,
-                         centers) -> list:
+                         centers, steady=None) -> list:
         from radiosonde_auto_rx_tpu.parallel.station_step import \
             EXPERT_TYPES
         n_chan = prof.n_chan
@@ -827,7 +902,12 @@ class Station:
                 cand_strength[cid] = float(
                     db[lo:k + nfft // (2 * n_chan) + 1].max())
         # recenter off-grid rows from the retained wideband blocks
-        # BEFORE confirmation/routing: downstream sees centered signals
+        # BEFORE confirmation/routing: downstream sees centered signals.
+        # The fused steady dispatch already recentered the predicted
+        # forced rows in-device — only new/changed rows re-extract here.
+        if steady:
+            rec = {cid: f for cid, f in rec.items()
+                   if steady["rec"].get(cid) != f}
         chf = self._recenter_cids(chf, wide, prof, rec)
 
         # full-rate confirmation under the mesh: exact type decisions
@@ -904,15 +984,38 @@ class Station:
             telems.extend(self._decode_routed(step, res, tasks, centers,
                                               n_chan, int(chf.shape[-1]),
                                               cid_off))
+        fused_items = []             # (name, j, cid) served by steady
         for b, items in host_tasks.items():
             self.center_freq = centers[b]
             self._offsets = {ci: cid_off.get(b * n_chan + ci, 0.0)
                              for ci, _, _ in items}
             self._cur_wide = wide[b]
+            legacy = items
+            if steady:
+                legacy = []
+                for ci, name, det in items:
+                    cid = b * n_chan + ci
+                    fp = steady["fused_pos"].get(cid)
+                    # speculation check: same type, same task frequency,
+                    # and no re-extraction pending for the row — else
+                    # the split path re-demodulates this channel
+                    if det is None and fp is not None and \
+                            fp[0] == name and cid not in rec and \
+                            abs(steady["pred"][cid][1] -
+                                (self._chan_center(ci) +
+                                 cid_off.get(cid, 0.0))) < 1.0:
+                        fused_items.append((name, fp[1], cid))
+                    else:
+                        legacy.append((ci, name, det))
             rows = chf[b * n_chan:(b + 1) * n_chan]
             for name, grp in self.group_tasks_by_type(
-                    items, n_chan).items():
+                    legacy, n_chan).items():
                 telems.extend(self.decode_channels(rows, grp, name))
+        if steady and fused_items:
+            self.stats["fused_channels"] = \
+                self.stats.get("fused_channels", 0) + len(fused_items)
+            telems.extend(self._decode_fused(
+                steady["fused"], fused_items, centers, n_chan, cid_off))
         # second-sonde-in-a-channel fallback: own extracted row through
         # the single-channel detect + decode path
         for b, f_abs in collide:
@@ -927,6 +1030,43 @@ class Station:
                                                        f_abs))
         self.center_freq = centers[-1]
         return telems
+
+    def _decode_fused(self, fused, fused_items, centers, n_chan,
+                      cid_off) -> list:
+        """Host frame plane over the fused steady-step demod outputs
+        (same tail as ``decode_channels`` without re-dispatching any
+        device work)."""
+        out = []
+        cache = {}
+        for name, j, cid in fused_items:
+            if name not in cache:
+                soft, bits, stats = fused[name]
+                cache[name] = (np.asarray(soft), np.asarray(bits),
+                               {k: np.asarray(v)
+                                for k, v in stats.items()})
+            soft_b, bits_b, stats = cache[name]
+            chain = CHAIN_TABLE[name]
+            afsk = bool(chain.get("afsk"))
+            eb = np.atleast_2d(stats["ebno_db"]) \
+                if "ebno_db" in stats else None
+            resid = self._freq_residuals(stats, chain, bits_b.shape[0])
+            b, ci = divmod(cid, n_chan)
+            self.center_freq = centers[b]
+            self._offsets = {ci: cid_off.get(cid, 0.0)}
+            fz = self.freq_of_channel(ci)
+            bits = bits_b[j]
+            soft = None if afsk else soft_b[j]
+            if afsk:
+                bits = 1 - bits
+            try:
+                out.extend(self._decode_frames(
+                    fz, name, bits, soft,
+                    None if eb is None else float(eb[j].max()), None,
+                    f_resid=None if resid is None else resid[j]))
+            except Exception:
+                log.exception("decode failed on %.3f MHz (%s)",
+                              fz / 1e6, name)
+        return out
 
     def _process_collision(self, prof, planes, f_abs: float) -> list:
         """Detect + decode one candidate whose channel row is already
