@@ -331,6 +331,94 @@ def bench_station_production(on_tpu, n_cand=20, actives=None):
     return msps, dt * 1e3, extra
 
 
+def bench_station_steady(on_tpu, actives=None, n_offgrid=2):
+    """The fused steady-state block (round-5): task state unchanged, no
+    new candidates — channelize + PSD + recentered extraction of
+    ``n_offgrid`` off-grid actives + per-type demod of the active
+    channels, dispatched as ONE program
+    (ShardedStationStep.steady_step).  This is the overwhelmingly
+    common production block; the worst case (full confirmation slots)
+    stays in ``bench_station_production``.
+
+    Returns (wide Msps, step_ms)."""
+    import numpy as np
+    from radiosonde_auto_rx_tpu.ops.channelizer import extract_phases
+    from radiosonde_auto_rx_tpu.parallel.mesh import make_mesh
+    from radiosonde_auto_rx_tpu.parallel.station_step import \
+        ShardedStationStep
+
+    n_chan = 50
+    B = 10 if on_tpu else 1
+    t_wide = 2_400_000
+    reps = 50 if on_tpu else 2
+    mesh = make_mesh(n_ch=1, n_t=1, devices=jax.devices()[:1])
+    step = ShardedStationStep(mesh, n_chan=n_chan, capacity=4)
+    if actives is None:
+        actives = ["RS41", "RS41", "RS41", "RS41", "DFM", "DFM",
+                   "M10", "M10", "M20", "MTS01"]
+    rng = np.random.default_rng(3)
+    cids = rng.choice(B * n_chan, len(actives), replace=False)
+    by_type = {}
+    for name, cid in zip(actives, cids):
+        by_type.setdefault(name, []).append(int(cid))
+    plan, idx = [], []
+    for name in sorted(by_type):
+        ids = sorted(by_type[name])
+        n = 1 << max(0, int(np.ceil(np.log2(len(ids)))))
+        plan.append((name, n))
+        idx.extend(ids + [ids[0]] * (n - len(ids)))
+    # recentering slots: off-grid actives (the 10 kHz raster case)
+    S = n_offgrid
+    M = t_wide // n_chan
+    ph_m = np.zeros((S, M), np.float32)
+    ph_r = np.zeros((S, n_chan), np.float32)
+    blk = np.zeros(S, np.int32)
+    rows = np.zeros(S, np.int32)
+    for s in range(S):
+        cid = int(cids[s])
+        f_rel = (cid % n_chan) * 48000.0 + 10e3
+        ph_m[s], ph_r[s] = extract_phases(f_rel, n_chan * 48000,
+                                          t_wide, n_chan)
+        blk[s] = cid // n_chan
+        rows[s] = cid
+    idx_j = jnp.asarray(np.asarray(idx, np.int32))
+    args = (idx_j, jnp.asarray(blk), jnp.asarray(rows),
+            jnp.asarray(ph_m), jnp.asarray(ph_r))
+    plan_t = tuple(plan)
+
+    key = jax.random.key(1)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P("ch", None, "t"))
+    wide = jax.device_put(jax.random.normal(key, (B, 2, t_wide),
+                                            jnp.float32), sh)
+    wide2 = jax.device_put(jax.jit(lambda v: v + 1e-4)(wide), sh)
+    wide2.block_until_ready()
+
+    @jax.jit
+    def one_step(w):
+        chf, psd, outs = step.steady_step(w, *args, plan_t)
+        acc = psd.sum()
+        bsum = jnp.int32(0)
+        for name in outs:
+            soft, bits, _ = outs[name]
+            acc = acc + soft[:, ::257].sum()
+            bsum = bsum + bits.astype(jnp.int32)[:, ::7].sum()
+        return acc, bsum
+
+    s, b = one_step(wide)
+    float(s), int(b)
+    s, b = one_step(wide2)
+    float(s), int(b)
+    dt = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [one_step((wide, wide2)[i % 2]) for i in range(reps)]
+        float(outs[-1][0])
+        dt = min(dt, time.perf_counter() - t0)
+    dt /= reps
+    return B * t_wide / dt / 1e6, dt * 1e3
+
+
 def bench_ablate(on_tpu, duty=0.2, cap=16):
     """Per-stage ablation of the station step at bench geometry:
     isolates channelize / PSD / prescreen / full-detect / demod with
@@ -570,6 +658,14 @@ def main():
         extra["station_step_model"] = pr_extra["model"]
     except Exception as e:                      # pragma: no cover
         extra["station_step_error"] = repr(e)[:200]
+    try:
+        # fused steady-state block (the common case: no candidates, no
+        # task change — analyze + recenter + demod as ONE program)
+        sd_msps, sd_ms = bench_station_steady(on_tpu)
+        extra["station_step_msps_steady"] = round(sd_msps, 3)
+        extra["station_step_ms_steady"] = round(sd_ms, 2)
+    except Exception as e:                      # pragma: no cover
+        extra["station_step_steady_error"] = repr(e)[:200]
     try:
         # r2/r3 continuity model: every channel demodulated + two-phase
         # detect at 20% duty (over-conservative vs production, kept so
