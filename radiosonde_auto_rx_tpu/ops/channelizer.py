@@ -87,8 +87,16 @@ def _channelize(x, h, n_chan):
     ydt = _branch_dtype()
     # polyphase branches: branch r takes samples x[m*N + r]
     xb = x.reshape(2, M, n_chan).astype(ydt)                 # [2, M, N]
-    # prototype branch taps: hb[p, r] = h[p*N + r]
-    hb = h.reshape(P, n_chan).astype(ydt)                    # [P, N]
+    # prototype branch taps, branch axis REVERSED: with y[m] =
+    # Σ_j h[j]·x[mN + (N−1) − j] (a true decimating FIR), the j = pN+s
+    # component multiplies x[(m−p)N + r] for r = N−1−s, so branch r's
+    # taps are h[pN + (N−1−r)].  The un-reversed form (rounds 1-4)
+    # computes a period-N branch-permuted filter instead: exact at
+    # every channel CENTER (the parity/golden tests all probe there)
+    # but with an in-channel response droop of ~0.6 dB at ±10 kHz and
+    # ~4 dB at ±25 kHz off center — discovered round 5 when Weathex's
+    # ±25 kHz tones lost 3 dB through the recentered extraction.
+    hb = h.reshape(P, n_chan)[:, ::-1].astype(ydt)           # [P, N]
     # branch filtering as P shifted multiply-accumulates along M — the
     # lane dim (N) stays contiguous, so XLA fuses this into one
     # HBM-bound pass (a feature_group_count=2N grouped conv measured
@@ -190,7 +198,8 @@ def _extract(x, h, ph_m, ph_r, n_dec):
     T = x.shape[-1] // n_dec * n_dec
     M = T // n_dec
     ydt = _branch_dtype()
-    hb = h.reshape(P, n_dec).astype(ydt)                     # [P, N]
+    # branch axis reversed — see the derivation in _channelize
+    hb = h.reshape(P, n_dec)[:, ::-1].astype(ydt)            # [P, N]
     tau = jnp.float32(2.0 * np.pi)
     cm, sm = jnp.cos(tau * ph_m), jnp.sin(tau * ph_m)        # [S, M]
     cr, sr = jnp.cos(tau * ph_r), jnp.sin(tau * ph_r)        # [S, N]

@@ -26,7 +26,11 @@ import pytest
 
 DOCS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "docs")
-CSV = os.path.join(DOCS, "per_r3.csv")
+# round-5 CSV adds per-type ±20 kHz off-grid points (f_off column,
+# tools/per_offgrid.py); fall back to the round-3 sweep
+CSV = os.path.join(DOCS, "per_r5.csv")
+if not os.path.exists(CSV):
+    CSV = os.path.join(DOCS, "per_r3.csv")
 
 
 def _rows():
@@ -34,9 +38,17 @@ def _rows():
         return [r for r in csv.DictReader(f) if r["chain"] == "tpu"]
 
 
+def _f_off(row) -> float:
+    try:
+        return float(row.get("f_off") or 0.0)
+    except ValueError:
+        return 0.0
+
+
 def _curve(rows, sonde_type):
     g = sorted(((float(r["ebno_db"]), float(r["per"]))
-                for r in rows if r["type"] == sonde_type))
+                for r in rows
+                if r["type"] == sonde_type and _f_off(r) == 0.0))
     return g
 
 
@@ -51,6 +63,9 @@ def _cliff(curve):
 
 ALL_ROWS = _rows() if os.path.exists(CSV) else []
 TYPES = sorted({r["type"] for r in ALL_ROWS})
+OFFGRID = sorted({(r["type"], _f_off(r), float(r["ebno_db"]),
+                   float(r["per"]))
+                  for r in ALL_ROWS if _f_off(r) != 0.0})
 
 
 @pytest.mark.parametrize("sonde_type", TYPES)
@@ -76,3 +91,24 @@ def test_per_cliff_gate(sonde_type):
         f"recorded {p_rec:.2f} (limit {limit:.2f}) — the 50% cliff "
         f"(recorded {cliff if cliff is None else round(cliff, 2)} dB) "
         f"moved by more than 0.5 dB; docs/per_r3.csv is the reference")
+
+
+# one gate per (type, offset sign): re-measure the recorded ±20 kHz
+# off-grid point with 50 fresh frames.  Same statistics as the centered
+# gate at n=50 (sigma <= 0.07): a regression that moves the off-grid
+# cliff by >= 0.5 dB trips the limit with high probability while a
+# healthy recentering chain false-fails with p < 1e-3.
+@pytest.mark.parametrize("sonde_type,f_off,e_gate,p_rec", OFFGRID,
+                         ids=[f"{t}{'+' if f > 0 else '-'}20k"
+                              for t, f, _, _ in OFFGRID])
+def test_per_offgrid_gate(sonde_type, f_off, e_gate, p_rec):
+    from radiosonde_auto_rx_tpu.tools.per_harness import run_point
+    rows = run_point(sonde_type, e_gate, n_frames=50, seed=321,
+                     f_off=f_off)
+    p_meas = rows[0]["per"]
+    limit = max(p_rec + 0.25, 0.45)
+    assert p_meas <= limit, (
+        f"{sonde_type} at {f_off/1e3:+.0f} kHz / {e_gate:.1f} dB: PER "
+        f"measured {p_meas:.2f} vs recorded {p_rec:.2f} (limit "
+        f"{limit:.2f}) — the off-grid recentering chain regressed; "
+        f"docs/per_r5.csv is the reference")
