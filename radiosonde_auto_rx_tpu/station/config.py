@@ -139,6 +139,10 @@ def default_config() -> dict:
         # min(4, ncpu-1) — the production default: a default-config
         # station gets the pooled channel counts, not the serial plane)
         "frame_plane_workers": -1,
+        # fused steady-state device step on single-device meshes: one
+        # program per block when the task state is unchanged (round-5;
+        # False forces the split analyze/confirm/route dispatch)
+        "fused_steady_step": True,
         # misc
         "wideband_sondes": False,
         "close_on_encrypted": True,
@@ -190,7 +194,8 @@ _SECTIONS = {
                  "temporary_block_time", "wideband_sondes",
                  "close_on_encrypted", "save_cal_data",
                  "enable_debug_logging", "capture_rate", "num_channels",
-                 "num_channels_wide", "frame_plane_workers"),
+                 "num_channels_wide", "frame_plane_workers",
+                 "fused_steady_step"),
 }
 
 

@@ -868,8 +868,15 @@ class Station:
                     forced[self.channel_of_freq(fz)] = (name, float(fz))
             for fz, st_a in self.active.items():
                 if self.in_capture(fz):
-                    forced.setdefault(self.channel_of_freq(fz),
-                                      (st_a["type"], float(fz)))
+                    ci = self.channel_of_freq(fz)
+                    if ci in forced and \
+                            abs(forced[ci][1] - fz) >= 1.0:
+                        # second active task inside one channel: its
+                        # mesh row is taken — keep it alive through the
+                        # host fallback (own extracted row)
+                        collide.append((b, float(fz)))
+                        continue
+                    forced.setdefault(ci, (st_a["type"], float(fz)))
             for ci, (name, f_abs) in forced.items():
                 cid = b * n_chan + ci
                 tasks[cid] = (name, None)
