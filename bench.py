@@ -331,7 +331,8 @@ def bench_station_production(on_tpu, n_cand=20, actives=None):
     return msps, dt * 1e3, extra
 
 
-def bench_station_steady(on_tpu, actives=None, n_offgrid=2):
+def bench_station_steady(on_tpu, actives=None, n_offgrid=2,
+                         scan=True):
     """The fused steady-state block (round-5): task state unchanged, no
     new candidates — channelize + PSD + recentered extraction of
     ``n_offgrid`` off-grid actives + per-type demod of the active
@@ -396,8 +397,8 @@ def bench_station_steady(on_tpu, actives=None, n_offgrid=2):
 
     @jax.jit
     def one_step(w):
-        chf, psd, outs = step.steady_step(w, *args, plan_t)
-        acc = psd.sum()
+        chf, psd, outs = step.steady_step(w, *args, plan_t, scan=scan)
+        acc = psd.sum() if scan else chf[:, 0, ::4097].sum()
         bsum = jnp.int32(0)
         for name in outs:
             soft, bits, _ = outs[name]
@@ -660,10 +661,18 @@ def main():
         extra["station_step_error"] = repr(e)[:200]
     try:
         # fused steady-state block (the common case: no candidates, no
-        # task change — analyze + recenter + demod as ONE program)
+        # task change — analyze + recenter + demod as ONE program);
+        # while decoding, the PSD scan runs 1-in-scan_every blocks, so
+        # the no-scan variant is the majority block
         sd_msps, sd_ms = bench_station_steady(on_tpu)
         extra["station_step_msps_steady"] = round(sd_msps, 3)
         extra["station_step_ms_steady"] = round(sd_ms, 2)
+        ns_msps, ns_ms = bench_station_steady(on_tpu, scan=False)
+        extra["station_step_msps_steady_noscan"] = round(ns_msps, 3)
+        extra["station_step_ms_steady_noscan"] = round(ns_ms, 2)
+        # duty-weighted common block at the default scan_every=4
+        extra["station_step_ms_steady_duty4"] = round(
+            (sd_ms + 3 * ns_ms) / 4, 2)
     except Exception as e:                      # pragma: no cover
         extra["station_step_steady_error"] = repr(e)[:200]
     try:

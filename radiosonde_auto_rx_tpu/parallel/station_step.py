@@ -620,8 +620,9 @@ class ShardedStationStep:
             cache[name] = (cfg, rs_to, afsk)
         return cache[name]
 
-    @partial(jax.jit, static_argnames=("self", "plan"))
-    def steady_step(self, wide, idx, blk, rows, ph_m, ph_r, plan):
+    @partial(jax.jit, static_argnames=("self", "plan", "scan"))
+    def steady_step(self, wide, idx, blk, rows, ph_m, ph_r, plan,
+                    scan: bool = True):
         """One fused program: analyze + forced-row recentering +
         per-type demod of the predicted active channels.
 
@@ -629,9 +630,24 @@ class ShardedStationStep:
         plan entry (pad entries repeat a valid id and are dropped on
         the host); blk/rows/ph_m/ph_r: recentering slots (shape-[0]
         arrays when nothing is off-grid); plan: static tuple of
-        (type_name, count).  Returns (chf, psd, {type: (soft, bits,
+        (type_name, count).  ``scan=False`` skips the Welch PSD (the
+        station scans 1-in-``scan_every`` blocks while decoding —
+        strictly better than the reference, whose single-SDR stations
+        cannot scan at all while a decoder holds the SDR) and returns
+        ``psd=None``.  Returns (chf, psd, {type: (soft, bits,
         stats)})."""
-        chf, psd, _ = self.analyze(wide, screen=False)
+        if scan:
+            chf, psd, _ = self.analyze(wide, screen=False)
+        else:
+            assert self.mesh.size == 1, "no-scan steady is 1-device-only"
+            from radiosonde_auto_rx_tpu.ops.channelizer import \
+                _branch_dtype
+            wl = wide.astype(_branch_dtype())
+            ch = jax.vmap(lambda w: _channelize(w, self.taps,
+                                                self.n_chan))(wl)
+            B_l = ch.shape[0]
+            chf = ch.reshape(B_l * self.n_chan, 2, -1)
+            psd = None
         if rows.shape[0]:
             from radiosonde_auto_rx_tpu.ops.channelizer import _extract
             xs = wide[blk]

@@ -815,10 +815,21 @@ class Station:
                                               n_chan)
             blk[s] = cid // n_chan
             rows[s] = cid
+        # scan duty: while decoding, scan the PSD only every
+        # ``scan_every`` blocks (the reference's single-SDR stations
+        # cannot scan AT ALL while a decoder holds the SDR —
+        # 1-in-N is strictly better); with no active tasks every
+        # block scans
+        scan = bool(self.scan_enabled)
+        if scan and pred:
+            n = max(1, int(self.config.get("scan_every", 4)))
+            self._steady_tick = getattr(self, "_steady_tick", -1) + 1
+            scan = (self._steady_tick % n) == 0
         chf, psd, fused = step.steady_step(
             wide, jnp.asarray(np.asarray(idx, np.int32)),
             jnp.asarray(blk), jnp.asarray(rows),
-            jnp.asarray(ph_m), jnp.asarray(ph_r), tuple(plan))
+            jnp.asarray(ph_m), jnp.asarray(ph_r), tuple(plan),
+            scan=scan)
         return ("steady", step, prof, wide, chf, psd, B, centers,
                 dict(pred=pred, rec=rec, fused=fused,
                      fused_pos=fused_pos))
@@ -846,7 +857,7 @@ class Station:
             EXPERT_TYPES
         n_chan = prof.n_chan
         B_pad = -(-B // step.n_sh) * step.n_sh
-        psd_np = np.asarray(psd)
+        psd_np = None if psd is None else np.asarray(psd)
 
         # host policy per block: scan peaks + task state -> candidates
         # and forced tasks (manual/active)
@@ -861,7 +872,8 @@ class Station:
             self.center_freq = centers[b]
             self._offsets = {}
             cands_b = (self.scan_from_psd(psd_np[b])
-                       if self.scan_enabled else [])
+                       if self.scan_enabled and psd_np is not None
+                       else [])
             forced = {}              # ci -> (name, f_abs)
             for fz, name in self.manual_tasks.items():
                 if self.in_capture(fz):
@@ -884,6 +896,8 @@ class Station:
                 cid_off[cid] = off
                 if abs(off) >= RECENTER_MIN_HZ:
                     rec[cid] = float(prof.freqs[ci]) + off
+            if not cands_b:
+                continue
             db = 10.0 * np.log10(np.maximum(psd_np[b], 1e-20))
             nfft = db.shape[-1]
             for ci, off in cands_b:

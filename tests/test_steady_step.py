@@ -59,7 +59,10 @@ def test_steady_follows_drift_via_fallback():
     """A sonde jumping +12 kHz between captures invalidates the
     speculation for that block; the fallback re-demodulates and the
     NEXT block is fused again at the new frequency."""
-    st = _one_dev_station()
+    # scan_every=1: the scan-absorb retune must see every block (the
+    # fixture jumps 12 kHz per capture; real drift is ~Hz/s and the
+    # default 1-in-4 scan duty follows it fine)
+    st = _one_dev_station(scan_every=1)
     fused_after = []
     for i, off in enumerate((14e3, 26e3, 26e3)):
         rng = np.random.default_rng(41 + i)
