@@ -181,7 +181,13 @@ class APRSUploader:
             # re-align (never drift, never burst after a stall)
             self._next_upload = \
                 (now // self.upload_rate + 1) * self.upload_rate
-            for sid, telem in list(self.latest.items()):
+            for sid in list(self.latest):
+                # pop BEFORE the (slow, retrying) upload: a frame the
+                # decode thread stores meanwhile must survive into the
+                # next slot, not be deleted unsent
+                telem = self.latest.pop(sid, None)
+                if telem is None:
+                    continue
                 pkt, name = telemetry_to_aprs_position(
                     telem, self.object_name_override, self.object_comment,
                     self.position_report)
@@ -191,7 +197,6 @@ class APRSUploader:
                     # (reference aprs.py:630-636)
                     self.upload_packet(
                         pkt, source=name if self.position_report else None)
-                del self.latest[sid]
             self.beacon_station_position()
 
     def update_station_position(self, lat, lon, alt):
@@ -224,8 +229,9 @@ class APRSUploader:
             s = socket.create_connection((self.server, self.port),
                                          timeout=self.timeout)
             s.settimeout(self.timeout)
-            login = "user %s pass %s vers radiosonde_auto_rx_tpu\r\n" % (
-                self.callsign, self.passcode)
+            from radiosonde_auto_rx_tpu import __version__
+            login = "user %s pass %s vers radiosonde_auto_rx_tpu " \
+                "%s\r\n" % (self.callsign, self.passcode, __version__)
             s.sendall(login.encode("ascii"))
             # limit inbound bandwidth (the igate otherwise streams us
             # the whole feed; reference sets the same filters)

@@ -479,7 +479,8 @@ class ShardedStationStep:
                 xh = recv
 
             sid = jax.lax.axis_index(CH_AXIS)
-            soft_o, bits_o, ebno_o, fres_o = [], [], [], []
+            soft_o, bits_o, ebno_o = [], [], []
+            fsum_o, fcnt_o = [], []
             for slot in range(e_local):
                 # this slot's expert id = sid * e_local + slot: select
                 # the demod program at runtime via switch over types
@@ -493,7 +494,7 @@ class ShardedStationStep:
                             z = jnp.zeros((S_tot, out_max), jnp.float32) \
                                 + 0.0 * xe[:, 0, :1].astype(jnp.float32)
                             zs = 0.0 * xe[:, 0, 0].astype(jnp.float32)
-                            return z, z, zs, zs
+                            return z, z, zs, zs, zs
                         return run_pad
                     cfg = cfgs[eidx]
                     blen, nb = lens[eidx]
@@ -504,7 +505,7 @@ class ShardedStationStep:
                             z = jnp.zeros((S_tot, out_max), jnp.float32) \
                                 + 0.0 * xe[:, 0, :1].astype(jnp.float32)
                             zs = 0.0 * xe[:, 0, 0].astype(jnp.float32)
-                            return z, z, zs, zs
+                            return z, z, zs, zs, zs
                         if rs_to:
                             # static periodic-block matmul resampler
                             # (the tsrc analogue, ops/resample.py)
@@ -534,7 +535,8 @@ class ShardedStationStep:
                         # demod's f_est over locked blocks (the drift
                         # signal; station._freq_residuals host analogue)
                         if afsk:
-                            fres = jnp.zeros_like(ebno)
+                            fsum = jnp.zeros_like(ebno)
+                            fcnt = jnp.zeros_like(ebno)
                         else:
                             fe = outs["f_est"].mean(axis=-1)   # [nb, S]
                             eb = outs["ebno_db"]               # [nb, S]
@@ -544,28 +546,33 @@ class ShardedStationStep:
                             thr = jnp.maximum(3.0, eb.max(0) - 10.0)
                             good = (eb > thr[None, :]
                                     ).astype(jnp.float32)
-                            fres = (fe * good).sum(0) / \
-                                jnp.maximum(good.sum(0), 1.0)
+                            fsum = (fe * good).sum(0)
+                            fcnt = good.sum(0)
                         pad = out_max - soft.shape[1]
                         soft = jnp.pad(soft, ((0, 0), (0, pad)))
                         bits = jnp.pad(bits.astype(jnp.float32),
                                        ((0, 0), (0, pad)))
-                        return soft, bits, ebno, fres
+                        return soft, bits, ebno, fsum, fcnt
                     return run
 
                 branches = [branch(s * e_local + slot)
                             for s in range(n_sh)]
-                s_k, b_k, e_k, f_k = jax.lax.switch(sid, branches,
-                                                    xh[slot])
+                s_k, b_k, e_k, fs_k, fc_k = jax.lax.switch(sid, branches,
+                                                           xh[slot])
                 soft_o.append(s_k)
                 bits_o.append(b_k)
                 ebno_o.append(e_k)
-                fres_o.append(f_k)
+                fsum_o.append(fs_k)
+                fcnt_o.append(fc_k)
             # best block Eb/N0 across the time shards (unconditional:
             # establishes t-replication for the out_specs check)
             ebno = jax.lax.pmax(jnp.stack(ebno_o), T_AXIS)
-            # residuals: mean of the t-shards' per-shard means
-            fres = jax.lax.pmean(jnp.stack(fres_o), T_AXIS)
+            # residuals: locked-count-weighted mean across the t-shards
+            # (a shard with no locked blocks contributes nothing — a
+            # plain shard-mean would dilute bursty sondes toward zero)
+            fsum = jax.lax.psum(jnp.stack(fsum_o), T_AXIS)
+            fcnt = jax.lax.psum(jnp.stack(fcnt_o), T_AXIS)
+            fres = fsum / jnp.maximum(fcnt, 1.0)
             return (jnp.stack(soft_o), jnp.stack(bits_o),
                     ebno, fres, recv_i, recv_m,
                     dropped.sum()[None])

@@ -196,6 +196,9 @@ class Station:
         # the scan/forced-task mapping each block; freq_of_channel folds
         # it in so every downstream fz is the recentered frequency.
         self._offsets = {}
+        self._ext_off = {}           # row -> offset its row was
+                                     # EXTRACTED at (0 = PFB center);
+                                     # the drift-retune anchor
         self._ex_taps = {}           # n_dec -> wide-extraction prototype
         self._cur_wide = None        # current block's [2, T] planes
         self._wide_freqs = set()     # last scan's wideband candidates
@@ -501,6 +504,7 @@ class Station:
         planes = self._wide_planes(wideband_iq)
         self._cur_wide = planes
         self._offsets = {}
+        self._ext_off = {}
         cands = self.scan(planes) if self.scan_enabled else []
         # row allocation: each task/candidate frequency gets one row of
         # the channel bank.  On-grid rows are PFB channels; off-grid
@@ -517,6 +521,7 @@ class Station:
                 row = ci
                 if abs(off) >= RECENTER_MIN_HZ:
                     rec[row] = float(prof.freqs[ci]) + off
+                    self._ext_off[row] = float(off)
             elif abs(row_alloc[ci] - f_abs) < 1.0:
                 return ci
             else:
@@ -636,8 +641,12 @@ class Station:
             return []
         n_chan = prof.n_chan
         self._offsets[n_chan] = float(f_abs)     # virtual row
+        # the detection row is already at WIDE_SCAN_FS — reuse it when
+        # that IS the chain's rate (WXR*); other rates re-extract
+        ready = int(CHAIN_TABLE[name].get("wide_fs", 0)) == WIDE_SCAN_FS
         return self.decode_channels(row96[None], [(0, det)], name,
-                                    chan_map={0: n_chan})
+                                    chan_map={0: n_chan},
+                                    wide_ready=ready)
 
     def _dedupe_tasks(self, tasks: list) -> list:
         """Spacing rule over a block's freshly detected tasks: a
@@ -877,7 +886,13 @@ class Station:
             forced = {}              # ci -> (name, f_abs)
             for fz, name in self.manual_tasks.items():
                 if self.in_capture(fz):
-                    forced[self.channel_of_freq(fz)] = (name, float(fz))
+                    ci = self.channel_of_freq(fz)
+                    if ci in forced and abs(forced[ci][1] - fz) >= 1.0:
+                        # second manual task inside one channel: host
+                        # fallback with its forced type
+                        collide.append((b, float(fz), name))
+                        continue
+                    forced[ci] = (name, float(fz))
             for fz, st_a in self.active.items():
                 if self.in_capture(fz):
                     ci = self.channel_of_freq(fz)
@@ -886,7 +901,7 @@ class Station:
                         # second active task inside one channel: its
                         # mesh row is taken — keep it alive through the
                         # host fallback (own extracted row)
-                        collide.append((b, float(fz)))
+                        collide.append((b, float(fz), None))
                         continue
                     forced.setdefault(ci, (st_a["type"], float(fz)))
             for ci, (name, f_abs) in forced.items():
@@ -910,7 +925,7 @@ class Station:
                     # the channel's mesh row is taken: a second sonde
                     # in the same 48 kHz channel rides the host
                     # fallback (own extracted row, detect + decode)
-                    collide.append((b, fq))
+                    collide.append((b, fq, None))
                     continue
                 cand.append(cid)
                 cid_off[cid] = off
@@ -925,10 +940,22 @@ class Station:
         # recenter off-grid rows from the retained wideband blocks
         # BEFORE confirmation/routing: downstream sees centered signals.
         # The fused steady dispatch already recentered the predicted
-        # forced rows in-device — only new/changed rows re-extract here.
+        # forced rows in-device — only new/changed rows re-extract here;
+        # rows the dispatch recentered but the (post-retune) policy no
+        # longer wants are RESTORED to the channel center (an extraction
+        # at the center reproduces the PFB row), so the fallback never
+        # demodulates a stale-recentered row.
+        ext_cid = {}                 # cid -> offset its row holds NOW
         if steady:
+            for cid, f_rel in steady["rec"].items():
+                ext_cid[cid] = f_rel - float(prof.freqs[cid % n_chan])
+            restore = {cid: float(prof.freqs[cid % n_chan])
+                       for cid in steady["rec"] if cid not in rec}
             rec = {cid: f for cid, f in rec.items()
                    if steady["rec"].get(cid) != f}
+            rec.update(restore)
+        for cid, f_rel in rec.items():
+            ext_cid[cid] = f_rel - float(prof.freqs[cid % n_chan])
         chf = self._recenter_cids(chf, wide, prof, rec)
 
         # full-rate confirmation under the mesh: exact type decisions
@@ -1004,11 +1031,13 @@ class Station:
             res = step.route_demod(chf, jnp.asarray(exp_ids))
             telems.extend(self._decode_routed(step, res, tasks, centers,
                                               n_chan, int(chf.shape[-1]),
-                                              cid_off))
+                                              cid_off, ext_cid))
         fused_items = []             # (name, j, cid) served by steady
         for b, items in host_tasks.items():
             self.center_freq = centers[b]
             self._offsets = {ci: cid_off.get(b * n_chan + ci, 0.0)
+                             for ci, _, _ in items}
+            self._ext_off = {ci: ext_cid.get(b * n_chan + ci, 0.0)
                              for ci, _, _ in items}
             self._cur_wide = wide[b]
             legacy = items
@@ -1036,13 +1065,15 @@ class Station:
             self.stats["fused_channels"] = \
                 self.stats.get("fused_channels", 0) + len(fused_items)
             telems.extend(self._decode_fused(
-                steady["fused"], fused_items, centers, n_chan, cid_off))
+                steady["fused"], fused_items, centers, n_chan, cid_off,
+                ext_cid))
         # second-sonde-in-a-channel fallback: own extracted row through
         # the single-channel detect + decode path
-        for b, f_abs in collide:
+        for b, f_abs, forced_name in collide:
             self.center_freq = centers[b]
             self._cur_wide = wide[b]
-            telems.extend(self._process_collision(prof, wide[b], f_abs))
+            telems.extend(self._process_collision(prof, wide[b], f_abs,
+                                                  forced_name))
         # wideband candidates (Weathex & friends): 96 kHz wide scan
         for b, f_abs in wide_host:
             self.center_freq = centers[b]
@@ -1053,24 +1084,26 @@ class Station:
         return telems
 
     def _decode_fused(self, fused, fused_items, centers, n_chan,
-                      cid_off) -> list:
+                      cid_off, ext_cid=None) -> list:
         """Host frame plane over the fused steady-step demod outputs
         (same tail as ``decode_channels`` without re-dispatching any
         device work)."""
+        ext_cid = ext_cid or {}
         out = []
         cache = {}
         for name, j, cid in fused_items:
             if name not in cache:
                 soft, bits, stats = fused[name]
-                cache[name] = (np.asarray(soft), np.asarray(bits),
-                               {k: np.asarray(v)
-                                for k, v in stats.items()})
-            soft_b, bits_b, stats = cache[name]
-            chain = CHAIN_TABLE[name]
-            afsk = bool(chain.get("afsk"))
-            eb = np.atleast_2d(stats["ebno_db"]) \
-                if "ebno_db" in stats else None
-            resid = self._freq_residuals(stats, chain, bits_b.shape[0])
+                stats_np = {k: np.asarray(v) for k, v in stats.items()}
+                chain = CHAIN_TABLE[name]
+                cache[name] = (
+                    np.asarray(soft), np.asarray(bits),
+                    np.atleast_2d(stats_np["ebno_db"])
+                    if "ebno_db" in stats_np else None,
+                    self._freq_residuals(stats_np, chain,
+                                         np.asarray(bits).shape[0]),
+                    bool(chain.get("afsk")))
+            soft_b, bits_b, eb, resid, afsk = cache[name]
             b, ci = divmod(cid, n_chan)
             self.center_freq = centers[b]
             self._offsets = {ci: cid_off.get(cid, 0.0)}
@@ -1083,29 +1116,35 @@ class Station:
                 out.extend(self._decode_frames(
                     fz, name, bits, soft,
                     None if eb is None else float(eb[j].max()), None,
-                    f_resid=None if resid is None else resid[j]))
+                    f_resid=None if resid is None else resid[j],
+                    f_demod=self._chan_center(ci) +
+                    ext_cid.get(cid, 0.0)))
             except Exception:
                 log.exception("decode failed on %.3f MHz (%s)",
                               fz / 1e6, name)
         return out
 
-    def _process_collision(self, prof, planes, f_abs: float) -> list:
+    def _process_collision(self, prof, planes, f_abs: float,
+                           forced_name: str | None = None) -> list:
         """Detect + decode one candidate whose channel row is already
         owned by another task (two sondes >= decoder_spacing_limit apart
         inside one 48 kHz channel): extract its recentered row from the
-        wideband block and run the single-channel path on it."""
-        ci = self.channel_of_freq(f_abs)
+        wideband block and run the single-channel path on it.
+        ``forced_name`` (a second manual task) skips detection."""
         f_rel = f_abs - self.center_freq
         row = extract_channels(planes, self.fs_wide, [f_rel],
                                prof.n_chan, prof.pfb_taps)[0]
-        dets = prof.detector.detect(row[None], prescreen=False)[0]
-        if not dets:
-            return []
-        det = dets[0]
-        self.stats["detections"] += 1
-        name = det.name
-        if prof.wide and name == "RS92":
-            name = "RS92NGP"
+        det = None
+        name = forced_name
+        if name is None:
+            dets = prof.detector.detect(row[None], prescreen=False)[0]
+            if not dets:
+                return []
+            det = dets[0]
+            self.stats["detections"] += 1
+            name = det.name
+            if prof.wide and name == "RS92":
+                name = "RS92NGP"
         if name not in CHAIN_TABLE and name not in MODEL_NAME:
             return []
         n_chan = prof.n_chan
@@ -1134,13 +1173,14 @@ class Station:
         return chf.at[jnp.asarray(rows)].set(ext, mode="drop")
 
     def _decode_routed(self, step, res, tasks, centers, n_chan,
-                       t_total, cid_off=None) -> list:
+                       t_total, cid_off=None, ext_cid=None) -> list:
         """Host frame plane over ``route_demod`` outputs: slice each
         routed slot's valid bits/soft, apply the per-chain host tail
         (AFSK bit inversion), decode task-keyed by frequency."""
         from radiosonde_auto_rx_tpu.parallel.station_step import \
             EXPERT_TYPES
         cid_off = cid_off or {}
+        ext_cid = ext_cid or {}
         ids = np.asarray(res["ids"])
         mask = np.asarray(res["mask"])
         ebno = np.asarray(res["ebno"])
@@ -1170,7 +1210,9 @@ class Station:
                 try:
                     out.extend(self._decode_frames(
                         fz, name, bits, soft, float(ebno[e, s]), det,
-                        f_resid=f_resid))
+                        f_resid=f_resid,
+                        f_demod=self._chan_center(ci) +
+                        ext_cid.get(cid, 0.0)))
                 except Exception:
                     log.exception("decode failed on %.3f MHz (%s)",
                                   fz / 1e6, name)
@@ -1228,20 +1270,29 @@ class Station:
     def decode_channel(self, iq_ch, ci: int, name: str, det=None) -> list:
         """Demod + decode one channel known to carry type ``name``."""
         self._offsets = {}           # manual API: channel-center task
+        self._ext_off = {}
         self._cur_wide = None        # no wideband block to extract from
         return self.decode_channels(
             jnp.asarray(iq_ch)[None], [(0, det)], name,
             chan_map={0: ci})
 
     def decode_channels(self, ch, items, name: str,
-                        chan_map=None) -> list:
+                        chan_map=None, wide_ready: bool = False) -> list:
         """Batched demod + per-channel decode for one sonde type.
 
         ch: [N, 2, T] channel planes; items: [(channel_index, det)].
-        One device dispatch demodulates every channel of this type."""
+        One device dispatch demodulates every channel of this type.
+        ``wide_ready``: ``ch`` is already extracted at the chain's
+        wide_fs (skip the on-demand extraction)."""
         chain = CHAIN_TABLE.get(name, dict(rs=4800, est=10000))
         fs = self.fs_ch
-        if chain.get("wide_fs", 0) > fs:
+        wide_mode = chain.get("wide_fs", 0) > fs
+        if wide_mode and wide_ready:
+            # caller already extracted the channel at the chain's rate
+            # (the wide-scan pass reuses its detection row)
+            iq = ch
+            fs = int(chain["wide_fs"])
+        elif wide_mode:
             # wideband chain on a narrow station: synthesize the wide
             # channel on demand around each task frequency from the
             # retained wideband block (the reference instead re-runs
@@ -1297,7 +1348,8 @@ class Station:
         resid = self._freq_residuals(stats, chain, len(items))
         if self.frame_plane.workers > 0:
             return self._decode_frames_pooled(items, name, bits_b, soft_b,
-                                              ebno, chan_map, resid)
+                                              ebno, chan_map, resid,
+                                              wide_mode)
         for j, (ci, det) in enumerate(items):
             real_ci = chan_map[ci] if chan_map else ci
             fz = self.freq_of_channel(real_ci)
@@ -1306,13 +1358,25 @@ class Station:
                     fz, name, bits_b[j],
                     None if soft_b is None else soft_b[j],
                     None if ebno is None else float(ebno[j].max()), det,
-                    f_resid=resid[j] if resid is not None else None))
+                    f_resid=resid[j] if resid is not None else None,
+                    f_demod=self._f_demod_of(real_ci, fz, wide_mode)))
             except Exception:
                 # one bad channel/decoder must not kill the capture loop
                 # (reference isolates each decoder in its own subprocess)
                 log.exception("decode failed on %.3f MHz (%s)",
                               fz / 1e6, name)
         return out
+
+    def _f_demod_of(self, real_ci: int, fz: int,
+                    wide_mode: bool = False) -> float:
+        """Absolute frequency this row was DEMODULATED at: the task
+        frequency for wide-extracted and virtual rows (extracted right
+        on it), else the channel center plus the row's actual
+        extraction offset (0 for plain PFB rows)."""
+        if wide_mode or real_ci >= self.profile().n_chan:
+            return float(fz)
+        return self._chan_center(real_ci) + \
+            self._ext_off.get(real_ci, 0.0)
 
     @staticmethod
     def _freq_residuals(stats, chain, n_items):
@@ -1342,7 +1406,8 @@ class Station:
         return resid
 
     def _decode_frames_pooled(self, items, name, bits_b, soft_b, ebno,
-                              chan_map, resid=None) -> list:
+                              chan_map, resid=None,
+                              wide_mode=False) -> list:
         """Fan this type's channels out to the frame-plane workers, then
         run the light main-process tail (enrich/filter/export) in ticket
         order so output ordering matches the inline path."""
@@ -1357,18 +1422,19 @@ class Station:
                 bits_b[j], soft)
             meta[ticket] = (fz, det,
                             None if ebno is None else float(ebno[j].max()),
-                            resid[j] if resid is not None else None)
+                            resid[j] if resid is not None else None,
+                            self._f_demod_of(real_ci, fz, wide_mode))
         results = self.frame_plane.gather()
         out = []
         for ticket in sorted(meta):
-            fz, det, snr_db, f_resid = meta[ticket]
+            fz, det, snr_db, f_resid, f_demod = meta[ticket]
             state = self.active.get(fz)
             if state is None or state["type"] != name:
                 state = dict(type=name, decoder=None, last_ok=0.0)
                 self.active[fz] = state
             out.extend(self._post_frames(fz, state,
                                          results.get(ticket, []),
-                                         snr_db, det, f_resid))
+                                         snr_db, det, f_resid, f_demod))
         return out
 
     def _decoder_kwargs(self, name, model_name) -> dict:
@@ -1392,7 +1458,7 @@ class Station:
         return kwargs
 
     def _decode_frames(self, fz, name, bits, soft, snr_db, det,
-                       f_resid=None) -> list:
+                       f_resid=None, f_demod=None) -> list:
         """Host frame plane for one channel (task-keyed by absolute
         frequency ``fz``): decoder state, frame decode,
         enrich/filter/export."""
@@ -1414,10 +1480,10 @@ class Station:
         raw_telems = decoder.decode_bits(
             bits, None if soft is None else -soft)
         return self._post_frames(fz, state, raw_telems, snr_db, det,
-                                 f_resid)
+                                 f_resid, f_demod)
 
     def _post_frames(self, fz, state, raw_telems, snr_db, det,
-                     f_resid=None) -> list:
+                     f_resid=None, f_demod=None) -> list:
         """Main-process telemetry tail: enrich, filter, export, task
         bookkeeping.  Shared by the inline and pooled frame planes."""
         freq_hz = float(fz)
@@ -1451,14 +1517,19 @@ class Station:
                     log.exception("exporter error")
         if out and f_resid is not None:
             # follow the sonde's drift: the demod measured its carrier
-            # ``f_resid`` Hz above the task frequency — retune the task
-            # (the recentering NCO tracks it next block, as the
-            # reference's Df rotate does inside each decoder).  100 Hz
-            # rounding keeps the two (host/routed) residual computations
-            # convergent despite float summation-order differences.
-            f_resid = round(f_resid, -2)
-            if abs(f_resid) >= DRIFT_MIN_HZ:
-                self._retune(fz, fz + f_resid)
+            # ``f_resid`` Hz above the DEMOD CENTER (``f_demod`` — the
+            # frequency the row was actually extracted at, which is the
+            # channel center when the task offset was below
+            # RECENTER_MIN_HZ).  Anchoring the retune to f_demod, not
+            # fz, avoids double-counting sub-threshold offsets (a task
+            # 800 Hz off center would otherwise walk +800 Hz per block
+            # forever).  100 Hz rounding keeps the two (host/routed)
+            # residual computations convergent despite float
+            # summation-order differences.
+            anchor = fz if f_demod is None else f_demod
+            target = round(anchor + f_resid, -2)
+            if abs(target - fz) >= DRIFT_MIN_HZ:
+                self._retune(fz, target)
         return out
 
     def _drop_channel(self, fz, encrypted=False):

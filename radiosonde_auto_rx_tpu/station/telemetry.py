@@ -128,8 +128,12 @@ def _serial_valid(serial: str, typ: str) -> bool:
             if _SERIAL_RES[key].match(serial) is None:
                 return False
             # DFM/Meisei/MRZ additionally must not carry the decoder's
-            # no-serial-yet placeholder (reference 'x' checks)
-            return "x" not in serial.split("-")[-1]
+            # no-serial-yet placeholder (reference 'x' checks apply to
+            # exactly these types — MTS01's free-form ASCII serial may
+            # legitimately contain an 'x')
+            if key in ("DFM", "MEISEI", "IMS100", "RS11G", "MRZ"):
+                return "x" not in serial.split("-")[-1]
+            return True
     return False
 
 

@@ -178,6 +178,37 @@ def test_drift_continuity_one_task():
     assert len(ids) == 1, f"serial changed across drift: {ids}"
 
 
+def test_subthreshold_offset_no_retune_oscillation():
+    """A sonde ~800 Hz off a channel center (below RECENTER_MIN_HZ, so
+    its row is demodulated at the channel center): the drift feedback
+    must anchor to the DEMOD center, settling the task once instead of
+    walking +800 Hz per block forever (round-5 review finding)."""
+    col = _Col()
+    st = Station({**_cfg(), "use_mesh": False}, exporters=[col],
+                 center_freq_hz=CENTER)
+    freqs_seen = []
+    for i in range(3):
+        rng = np.random.default_rng(61 + i)
+        wide = (rng.standard_normal(T_WIDE) + 1j *
+                rng.standard_normal(T_WIDE)).astype(np.complex64) * 0.002
+        sig = taper(gfsk_mod(rs41_bits(np.random.default_rng(77),
+                                       ts=RS41_TS + 10 + i),
+                             FS_WIDE, 4800, 2, FREQS[RS41_CH] + 800.0,
+                             4800, bt=0.5)[:T_WIDE])
+        wide[:len(sig)] += sig
+        planes = np.stack([wide.real, wide.imag]).astype(np.float32)
+        telems = st.process_capture(planes)
+        assert telems, f"block {i} decoded nothing"
+        assert len(st.active) == 1, st.active
+        freqs_seen.append(next(iter(st.active)))
+    # after the first settle the task frequency must be STABLE (no
+    # per-block +800 Hz walk) and within the estimator bin of truth
+    assert freqs_seen[1] == freqs_seen[2], \
+        f"task frequency oscillates: {freqs_seen}"
+    assert abs(freqs_seen[-1] - (CENTER + FREQS[RS41_CH] + 800)) < 600, \
+        freqs_seen
+
+
 def test_weathex_offgrid_default_station():
     """Weathex off-grid on a DEFAULT 48 kHz station: the width gate
     routes the candidate to the 96 kHz wide-scan detector and the chain
