@@ -570,23 +570,31 @@ class ShardedStationStep:
             # residuals: locked-count-weighted mean across the t-shards
             # (a shard with no locked blocks contributes nothing — a
             # plain shard-mean would dilute bursty sondes toward zero)
+            # NOTE: each shard thresholds "locked" against its LOCAL
+            # best block (a collective inside the expert switch would
+            # deadlock the mesh), so on n_t>1 meshes a signal-free
+            # shard can contribute noise blocks.  n_t=1 is the
+            # production default (COMPONENTS.md) and the host consumer
+            # ignores the residual when fcnt is 0.
             fsum = jax.lax.psum(jnp.stack(fsum_o), T_AXIS)
             fcnt = jax.lax.psum(jnp.stack(fcnt_o), T_AXIS)
             fres = fsum / jnp.maximum(fcnt, 1.0)
             return (jnp.stack(soft_o), jnp.stack(bits_o),
-                    ebno, fres, recv_i, recv_m,
+                    ebno, fres, fcnt, recv_i, recv_m,
                     dropped.sum()[None])
 
-        soft, bits, ebno, fres, ids, mask, dropped = shard_map(
+        soft, bits, ebno, fres, fcnt, ids, mask, dropped = shard_map(
             body, mesh=self.mesh,
             in_specs=(P(CH_AXIS, None, T_AXIS), P(CH_AXIS)),
             out_specs=(P(CH_AXIS, None, T_AXIS), P(CH_AXIS, None, T_AXIS),
                        P(CH_AXIS, None), P(CH_AXIS, None),
-                       P(CH_AXIS, None), P(CH_AXIS, None), P(CH_AXIS)),
+                       P(CH_AXIS, None), P(CH_AXIS, None),
+                       P(CH_AXIS, None), P(CH_AXIS)),
         )(channels, expert_ids)
         # drop the mesh-divisibility pad experts (always-masked rows)
         return dict(soft=soft[:self.n_exp], bits=bits[:self.n_exp],
                     ebno=ebno[:self.n_exp], fres=fres[:self.n_exp],
+                    fcnt=fcnt[:self.n_exp],
                     ids=ids[:self.n_exp], mask=mask[:self.n_exp],
                     dropped=dropped)
 

@@ -900,8 +900,12 @@ class Station:
                             abs(forced[ci][1] - fz) >= 1.0:
                         # second active task inside one channel: its
                         # mesh row is taken — keep it alive through the
-                        # host fallback (own extracted row)
-                        collide.append((b, float(fz), None))
+                        # host fallback (own extracted row).  Skip when
+                        # a manual task already drives this frequency
+                        # (its collide entry would decode it twice).
+                        if not any(abs(fz - c_f) < 1.0
+                                   for _, c_f, _ in collide):
+                            collide.append((b, float(fz), None))
                         continue
                     forced.setdefault(ci, (st_a["type"], float(fz)))
             for ci, (name, f_abs) in forced.items():
@@ -1117,8 +1121,8 @@ class Station:
                     fz, name, bits, soft,
                     None if eb is None else float(eb[j].max()), None,
                     f_resid=None if resid is None else resid[j],
-                    f_demod=self._chan_center(ci) +
-                    ext_cid.get(cid, 0.0)))
+                    f_demod=self._f_demod_of(
+                        ci, fz, ext=ext_cid.get(cid, 0.0))))
             except Exception:
                 log.exception("decode failed on %.3f MHz (%s)",
                               fz / 1e6, name)
@@ -1185,6 +1189,7 @@ class Station:
         mask = np.asarray(res["mask"])
         ebno = np.asarray(res["ebno"])
         fres = np.asarray(res.get("fres")) if "fres" in res else None
+        fcnt = np.asarray(res.get("fcnt")) if "fcnt" in res else None
         dropped = int(np.asarray(res["dropped"]).sum())
         if dropped:
             # capacity overflow: same loss mode as the reference when
@@ -1205,14 +1210,15 @@ class Station:
                 if afsk:
                     bits, soft = 1 - bits, None
                 f_resid = None
-                if fres is not None and not afsk:
+                if fres is not None and not afsk and \
+                        (fcnt is None or fcnt[e, s] >= 1.0):
                     f_resid = float(np.clip(fres[e, s], -2500.0, 2500.0))
                 try:
                     out.extend(self._decode_frames(
                         fz, name, bits, soft, float(ebno[e, s]), det,
                         f_resid=f_resid,
-                        f_demod=self._chan_center(ci) +
-                        ext_cid.get(cid, 0.0)))
+                        f_demod=self._f_demod_of(
+                            ci, fz, ext=ext_cid.get(cid, 0.0))))
                 except Exception:
                     log.exception("decode failed on %.3f MHz (%s)",
                                   fz / 1e6, name)
@@ -1368,15 +1374,19 @@ class Station:
         return out
 
     def _f_demod_of(self, real_ci: int, fz: int,
-                    wide_mode: bool = False) -> float:
+                    wide_mode: bool = False, ext=None) -> float:
         """Absolute frequency this row was DEMODULATED at: the task
         frequency for wide-extracted and virtual rows (extracted right
         on it), else the channel center plus the row's actual
-        extraction offset (0 for plain PFB rows)."""
+        extraction offset (0 for plain PFB rows).  ``ext`` overrides
+        the offset lookup for callers that track extraction offsets in
+        cid-space (the sharded collect paths) — this is the drift-retune
+        anchor, so every decode path must go through here."""
         if wide_mode or real_ci >= self.profile().n_chan:
             return float(fz)
-        return self._chan_center(real_ci) + \
-            self._ext_off.get(real_ci, 0.0)
+        if ext is None:
+            ext = self._ext_off.get(real_ci, 0.0)
+        return self._chan_center(real_ci) + float(ext)
 
     @staticmethod
     def _freq_residuals(stats, chain, n_items):
@@ -1394,7 +1404,10 @@ class Station:
         if fe.ndim == 2:
             fe = fe[None]
         cen = fe.mean(axis=2, dtype=np.float32)      # [C, nb]
-        resid = np.zeros(n_items)
+        # NaN = "no locked blocks" — a 0.0 there would read as a real
+        # residual and retune a sub-threshold off-grid task back to the
+        # channel center whenever ECC pulls frames through at low SNR
+        resid = np.full(n_items, np.nan)
         for j in range(min(n_items, cen.shape[0])):
             # same locked-block rule as the routed path (station_step
             # route_demod fres): within 10 dB of the best block, > 3 dB
@@ -1515,7 +1528,7 @@ class Station:
                     exporter.add(t)
                 except Exception:
                     log.exception("exporter error")
-        if out and f_resid is not None:
+        if out and f_resid is not None and np.isfinite(f_resid):
             # follow the sonde's drift: the demod measured its carrier
             # ``f_resid`` Hz above the DEMOD CENTER (``f_demod`` — the
             # frequency the row was actually extracted at, which is the

@@ -122,18 +122,14 @@ def _serial_valid(serial: str, typ: str) -> bool:
         # uninitialised dropsondes transmit an all-zero serial
         return bool(re.match(r"\d{9}$", serial)) and \
             serial != "000000000"
-    # most-specific type key first (IMET5 before IMET)
+    # most-specific type key first (IMET5 before IMET).  The reference's
+    # DFM/Meisei/MRZ 'x'-placeholder checks are subsumed by the \d+
+    # serial grammars (a placeholder like DFM-xxxxxxxx fails the regex);
+    # MTS01's free-form ASCII serial may legitimately contain an 'x',
+    # so no extra placeholder check applies.
     for key in sorted(_SERIAL_RES, key=len, reverse=True):
         if key in typ:
-            if _SERIAL_RES[key].match(serial) is None:
-                return False
-            # DFM/Meisei/MRZ additionally must not carry the decoder's
-            # no-serial-yet placeholder (reference 'x' checks apply to
-            # exactly these types — MTS01's free-form ASCII serial may
-            # legitimately contain an 'x')
-            if key in ("DFM", "MEISEI", "IMS100", "RS11G", "MRZ"):
-                return "x" not in serial.split("-")[-1]
-            return True
+            return _SERIAL_RES[key].match(serial) is not None
     return False
 
 
