@@ -95,6 +95,8 @@ def build_exporters(config, web_exporter=None):
             object_name_override=config["aprs_object_id"],
             object_comment=config["aprs_custom_comment"],
             upload_rate=config["aprs_upload_rate"],
+            callsign_validity_threshold=int(
+                config.get("payload_id_valid", 5)),
             position_report=config.get("aprs_position_report", False),
             station_beacon=config.get("station_beacon_enabled", False),
             station_beacon_rate=config.get("station_beacon_rate", 30),
@@ -356,6 +358,33 @@ def run_station(args, config) -> int:
     exporters = build_exporters(config, web_exporter)
     station = Station(config=config, exporters=exporters,
                       center_freq_hz=args.center * 1e6)
+    # mobile-station position from gpsd (reference auto_rx.py wires
+    # GPSDAdaptor into every exporter's update_station_position)
+    gpsd = None
+    if config.get("gpsd_enabled"):
+        from radiosonde_auto_rx_tpu.station.gpsd import GPSDAdaptor
+
+        def _gps_update(pos):
+            lat, lon, alt = (pos["latitude"], pos["longitude"],
+                             pos["altitude"])
+            for cfg_d in (config, station.config):
+                cfg_d["station_lat"] = lat
+                cfg_d["station_lon"] = lon
+                cfg_d["station_alt"] = alt
+            for e in exporters:
+                fn = getattr(e, "update_station_position", None)
+                if fn is not None:
+                    try:
+                        fn(lat, lon, alt)
+                    except Exception:
+                        log.exception("station position update failed")
+
+        gpsd = GPSDAdaptor(config.get("gpsd_host", "localhost"),
+                           int(config.get("gpsd_port", 2947)),
+                           callback=_gps_update)
+        log.info("gpsd position source enabled (%s:%s)",
+                 config.get("gpsd_host", "localhost"),
+                 config.get("gpsd_port", 2947))
     web = None
     if not args.no_web:
         from radiosonde_auto_rx_tpu.web.server import WebHandler
@@ -605,6 +634,8 @@ def run_station(args, config) -> int:
             if s is not None:
                 s.close()
         station.close()
+        if gpsd is not None:
+            gpsd.close()
         if web is not None:
             web.close()
     return code
@@ -622,6 +653,8 @@ def main(argv=None) -> int:
     except Exception:
         log.exception("invalid configuration")
         return EXIT_CONFIG
+    if config is not None and config.get("enable_debug_logging"):
+        logging.getLogger().setLevel(logging.DEBUG)
     if config is None:
         return EXIT_CONFIG
     if args.emulate:

@@ -382,10 +382,13 @@ class Station:
             return ((kc - nfft // 2) * bin_hz + self.center_freq,
                     np.sqrt(max(var, 0.0)) * bin_hz)
 
-        # can this station wide-scan?  (narrow profile with a capture
-        # rate the 96 kHz extraction divides; the L-band profile's
-        # channels are already wide)
-        can_wide = (not self.profile().wide and
+        # can this station wide-scan?  (the ``wideband_sondes`` config
+        # enables Weathex-class detection, as in the reference
+        # config.py; plus: narrow profile, and a capture rate the
+        # 96 kHz extraction divides — the L-band profile's channels
+        # are already wide)
+        can_wide = (bool(self.config.get("wideband_sondes", False)) and
+                    not self.profile().wide and
                     self.fs_wide % WIDE_SCAN_FS == 0)
         refined = []                 # (strength_db, f_abs, is_wide)
         for f in fq_abs:

@@ -231,8 +231,8 @@ def test_weathex_offgrid_default_station():
     planes = np.stack([wide.real, wide.imag]).astype(np.float32)
     for use_mesh in (False, True):
         col = _Col()
-        st = Station(_cfg(use_mesh=use_mesh), exporters=[col],
-                     center_freq_hz=CENTER)
+        st = Station(_cfg(use_mesh=use_mesh, wideband_sondes=True),
+                     exporters=[col], center_freq_hz=CENTER)
         telems = (st.process_captures([planes]) if use_mesh
                   else st.process_capture(planes))
         assert telems, f"no Weathex telemetry (mesh={use_mesh})"
