@@ -174,6 +174,13 @@ def extract_phases(f_hz: float, fs: float, t_samples: int, n_dec: int):
     Returns (ph_m [T//n_dec], ph_r [n_dec]) phase tables in cycles:
     the rotation phase of wideband sample ``m*n_dec + r`` is
     ``ph_m[m] + ph_r[r]`` (mod 1).
+
+    The NCO starts at phase 0 every call: there is deliberately no
+    cross-block phase continuity, because every consumer demodulates
+    each capture block INDEPENDENTLY (the station's demod restarts per
+    block; frames straddling block boundaries are lost either way, the
+    same loss the reference takes at any decoder restart) — so a phase
+    step at a block seam is never observed by a demod.
     """
     m = np.arange(t_samples // n_dec, dtype=np.float64)
     r = np.arange(n_dec, dtype=np.float64)

@@ -654,7 +654,10 @@ def _make_iq(case: Case, ebno_db: float, rng, f_off: float = 0.0,
         planes = np.stack([wide.real, wide.imag]).astype(np.float32)
         ext = np.asarray(extract_channels(planes, fs_wide, [f_off],
                                           n_up)).astype(np.float32)[0]
-        return (ext[0] + 1j * ext[1]).astype(np.complex64)
+        # undo the extraction's passband gain (= n_up): the TPU chain
+        # is scale-invariant, but a 'ref' chain run on this IQ would
+        # otherwise clip hard in the cs16 conversion
+        return ((ext[0] + 1j * ext[1]) / n_up).astype(np.complex64)
     clean = (case.mod(tx) if case.mod is not None else
              gfsk_mod(tx, case.fs, case.rs, 2, 0.0, case.spacing,
                       bt=case.bt, ppm=case.ppm))
