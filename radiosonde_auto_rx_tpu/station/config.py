@@ -229,7 +229,12 @@ def read_auto_rx_config(filename: str | None = None,
     if filename is None:
         return cfg
     parser = configparser.RawConfigParser()
-    parser.read(filename)
+    if not parser.read(filename):
+        # configparser silently swallows missing/unreadable files — a
+        # typo'd -c path must NOT run the station on pure defaults
+        # (wrong identity uploading to SondeHub)
+        raise FileNotFoundError(
+            f"config file {filename!r} missing or unreadable")
     for section, keys in _SECTIONS.items():
         if not parser.has_section(section):
             continue
@@ -244,12 +249,18 @@ def read_auto_rx_config(filename: str | None = None,
     # per-SDR sections: any key overrides the shared source settings for
     # that source (most commonly hostname/port for networked SDRs, or a
     # replay path for WIDEBAND sources)
+    # typed defaults for per-SDR keys that have no global counterpart —
+    # without these, _coerce falls back to raw strings and e.g. a
+    # configured gain crashes the capture command builder ('>=' between
+    # str and int) while bias="false" reads truthy
+    _sdr_key_defaults = {"gain": -1.0, "ppm": 0.0, "bias": False,
+                         "rtl_device_idx": "0"}
     for n in range(1, int(cfg.get("sdr_quantity", 1)) + 1):
         sec = f"sdr_{n}"
         st = {}
         if parser.has_section(sec):
             for key in parser.options(sec):
-                base = cfg.get(key, "")
+                base = cfg.get(key, _sdr_key_defaults.get(key, ""))
                 st[key] = _coerce(base, parser.get(sec, key)) \
                     if not isinstance(base, dict) else parser.get(sec, key)
         cfg["sdr_settings"][n] = st

@@ -134,10 +134,30 @@ class FramePlane:
             self._inline_results = getattr(self, "_inline_results", {})
             self._inline_results[ticket] = telems
             return ticket
-        self._inqs[self._route(fz)].put(
+        w = self._route(fz)
+        if not self._procs[w].is_alive():
+            self._respawn_dead()
+        self._inqs[w].put(
             ("decode", ticket, fz, model_name, kwargs, bits, soft))
         self._pending += 1
         return ticket
+
+    def _respawn_dead(self):
+        """Replace dead workers (OOM-kill / native segfault in a
+        decoder): their queued tickets are lost — gather() logs the
+        stall — but the plane keeps decoding instead of adding a full
+        gather timeout to every subsequent capture cycle."""
+        ctx = mp.get_context("spawn")
+        for w, p in enumerate(self._procs):
+            if not p.is_alive():
+                log.error("frame plane worker %d died (exit %s) — "
+                          "respawning", w, p.exitcode)
+                q = ctx.Queue()
+                np_ = ctx.Process(target=_worker_main,
+                                  args=(q, self._outq), daemon=True)
+                np_.start()
+                self._inqs[w] = q
+                self._procs[w] = np_
 
     def gather(self, timeout: float = 60.0) -> dict:
         """Resolve all outstanding tickets -> {ticket: telemetry list}.
@@ -154,6 +174,11 @@ class FramePlane:
             except queue_mod.Empty:
                 log.error("frame plane: %d tickets unresolved after %.0fs",
                           self._pending, timeout)
+                # a dead/hung worker never resolves its tickets: write
+                # them off (or every later cycle stalls the full
+                # timeout) and replace any dead process
+                self._pending = 0
+                self._respawn_dead()
                 break
             self._pending -= 1
             if err:

@@ -296,10 +296,15 @@ class BlockSource:
         self.center_hz = float(center_hz)
         self._open()            # fresh queue — old-center blocks dropped
 
-    def read_block(self):
-        """Next ``(center_hz, block)``; block is None at end of stream."""
+    def read_block(self, stop=None):
+        """Next ``(center_hz, block)``; block is None at end of stream.
+
+        ``stop``: optional callable checked between queue polls so a
+        SIGINT / deadline can interrupt the wait even while a stalled
+        capture process keeps the reader thread alive (a hung USB
+        tuner otherwise made Ctrl-C inoperative)."""
         import queue
-        while True:
+        while stop is None or not stop():
             try:
                 return self._q.get(timeout=0.25)
             except queue.Empty:
@@ -308,6 +313,7 @@ class BlockSource:
                         return self._q.get_nowait()
                     except queue.Empty:
                         return (self.center_hz, None)
+        return (self.center_hz, None)
 
     def blocks(self):
         while True:
@@ -404,6 +410,17 @@ def run_station(args, config) -> int:
 
     forced_chan = None
     if args.frequency is not None:
+        if not station.in_capture(args.frequency * 1e6):
+            log.critical(
+                "-f %.3f MHz is outside the capture span (%.3f ± %.3f "
+                "MHz) — set --center accordingly", args.frequency,
+                station.center_freq / 1e6, station.fs_wide / 2e6)
+            station.close()
+            if gpsd is not None:
+                gpsd.close()
+            if web is not None:
+                web.close()
+            return EXIT_CONFIG
         forced_chan = station.channel_of_freq(args.frequency * 1e6)
         log.info("single-frequency mode: %.3f MHz -> channel %d",
                  args.frequency, forced_chan)
@@ -447,7 +464,12 @@ def run_station(args, config) -> int:
     # SDR sources are retried with a reset on unexpected EOF (reference
     # scan.py retries w/ reset_sdr up to 5 consecutive errors :668,905-925);
     # replay files end naturally after one pass.
-    max_retries = 0 if args.replay else 5
+    # config-driven WIDEBAND sources replay a capture FILE (the
+    # hostname key doubles as its path): like --replay, a clean EOF is
+    # the end of the data, not an SDR failure to retry — retrying would
+    # reopen `cat` at offset 0 and re-upload the same telemetry forever
+    max_retries = 0 if (args.replay or
+                        config.get("sdr_type") == "WIDEBAND") else 5
     sdr_settings = config.get("sdr_settings", {}) or {}
 
     def _open_source(i):
@@ -529,14 +551,23 @@ def run_station(args, config) -> int:
                         list(station.manual_tasks)
                     seg = sched.next_center(tasked, station.scan_enabled)
                     sources[i].retune(seg.center_hz)
+                def _should_stop():
+                    return stop["flag"] or bool(
+                        deadline and time.time() > deadline)
+
                 got_i = 0
-                block_center, block = sources[i].read_block()
+                block_center, block = sources[i].read_block(_should_stop)
                 for _ in range(mb - 1):
                     if block is None:
                         break
                     batch.append((block_center, block))
                     got_i += 1
-                    block_center, block = sources[i].read_block()
+                    block_center, block = \
+                        sources[i].read_block(_should_stop)
+                if block is None and _should_stop():
+                    # interrupted wait (SIGINT/deadline), not an EOF:
+                    # never take the SDR-reset/reopen path on shutdown
+                    break
                 if block is None and got_i:
                     # EOF mid-micro-batch: process what we have; the
                     # next cycle takes the EOF/retry path

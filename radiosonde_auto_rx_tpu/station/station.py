@@ -1446,11 +1446,23 @@ class Station:
             fz, det, snr_db, f_resid, f_demod = meta[ticket]
             state = self.active.get(fz)
             if state is None or state["type"] != name:
-                state = dict(type=name, decoder=None, last_ok=0.0)
+                # fresh tasks start their rx_timeout clock NOW: types
+                # needing several blocks to confirm a serial (DFM) must
+                # not be reaped (and their decoder state destroyed)
+                # before the first accepted frame
+                state = dict(type=name, decoder=None,
+                             last_ok=time.time())
                 self.active[fz] = state
-            out.extend(self._post_frames(fz, state,
-                                         results.get(ticket, []),
-                                         snr_db, det, f_resid, f_demod))
+            try:
+                out.extend(self._post_frames(fz, state,
+                                             results.get(ticket, []),
+                                             snr_db, det, f_resid,
+                                             f_demod))
+            except Exception:
+                # one bad telemetry dict must not kill the capture loop
+                # (same isolation as the inline path)
+                log.exception("telemetry tail failed on %.3f MHz (%s)",
+                              fz / 1e6, name)
         return out
 
     def _decoder_kwargs(self, name, model_name) -> dict:
@@ -1485,11 +1497,16 @@ class Station:
         if state is None or state["type"] != name or \
                 state.get("decoder") is None:
             decoder_cls = get_model(model_name)
+            # fresh tasks start the rx_timeout clock NOW (multi-block
+            # serial confirmation must survive until the first accepted
+            # frame); a checkpoint-resumed task keeps its original clock
+            prev_ok = state["last_ok"] if state is not None and \
+                state.get("type") == name else time.time()
             state = dict(
                 type=name,
                 decoder=decoder_cls(**self._decoder_kwargs(name,
                                                            model_name)),
-                last_ok=0.0)
+                last_ok=prev_ok)
             self.active[fz] = state
         decoder = state["decoder"]
 

@@ -18,7 +18,7 @@ from radiosonde_auto_rx_tpu.utils.serial import generate_aprs_id
 from radiosonde_auto_rx_tpu.utils.sonde_specific import (
     fix_datetime, imet_unique_id)
 
-VAISALA_SERIAL_RE = re.compile(r"[C-Z][\d][\d][\d]\d{4}")
+VAISALA_SERIAL_RE = re.compile(r"[C-Z][\d][\d][\d]\d{4}$")
 
 
 def enrich_telemetry(telemetry: dict, freq_hz: float | None = None,
@@ -105,7 +105,9 @@ _SERIAL_RES = {
     "IMET": re.compile(r"IMET-[0-9A-F]{8}$"),
     "MTS01": re.compile(r"MTS01-[0-9A-Za-z]+$"),
     "WXR": re.compile(r"WXR-\d+$"),
-    "DFM": re.compile(r"(DFM|PS15)\w*-\d+$"),
+    # DFM-06 serials are HEXADECIMAL (dfm09mod prints %6X; models/dfm.py
+    # :303), DFM-09/17/PS15 decimal — accept both
+    "DFM": re.compile(r"(DFM|PS15)\w*-[0-9A-F]+$"),
     "MRZ": re.compile(r"MRZ-\d+-\d+$"),
     "MEISEI": re.compile(r"(IMS100|RS11G|MEISEI)-\d+$"),
 }
@@ -116,7 +118,12 @@ _SERIAL_RES["IMS100"] = _SERIAL_RES["RS11G"] = _SERIAL_RES["MEISEI"]
 def _serial_valid(serial: str, typ: str) -> bool:
     """Reference serial checks (auto_rx.py:566-725) tightened to each
     decoder's real serial grammar."""
-    if VAISALA_SERIAL_RE.match(serial):
+    if ("RS41" in typ or "RS92" in typ) and \
+            VAISALA_SERIAL_RE.match(serial):
+        # the reference applies the Vaisala regex regardless of type;
+        # gating it on the Vaisala types (and end-anchoring) keeps a
+        # corrupted other-type serial that happens to look Vaisala-ish
+        # from bypassing its own grammar
         return True
     if "RD41" in typ or "RD94" in typ:
         # uninitialised dropsondes transmit an all-zero serial

@@ -88,7 +88,11 @@ def test_telemetry_filter_rejects():
     ("M20", "M20-305-3-11234", "M20-3Q5-3-11234"),
     ("LMS6", "LMS6-7654321", "LMS6-76X4321"),
     ("DFM", "DFM-21054321", "DFM-xxxxxxxx"),
+    ("DFM06", "DFM-A1B2C3", "DFM-a1b2c3"),     # DFM-06 serials are hex
     ("DFM09", "DFM-19123456", "DFM-"),
+    # a Vaisala-looking serial must NOT bypass a non-Vaisala type's
+    # grammar (the Vaisala regex is gated on RS41/RS92 types)
+    ("MTS01", "MTS01-C1234567", "C1234567"),
     ("IMET5", "IMET5-54001234", "IMET5-54x01234"),
     ("IMET4", "IMET-1A2B3C4D", "IMET-NOTHEX0"),
     ("MTS01", "MTS01-T7654321", "MTS01-"),
