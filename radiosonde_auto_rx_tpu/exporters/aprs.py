@@ -212,9 +212,13 @@ class APRSUploader:
                 self.station_beacon["rate"] * 60:
             return
         lat, lon = self.station_beacon["position"][:2]
-        self._last_beacon = time.time()
         if lat == 0.0 and lon == 0.0:
-            return      # reference refuses to beacon a 0,0 position
+            # reference refuses to beacon a 0,0 position; do NOT stamp
+            # the rate limiter here — a mobile station waiting for its
+            # first gpsd fix should beacon the moment the fix arrives,
+            # not a full beacon period later
+            return
+        self._last_beacon = time.time()
         pkt = generate_station_object(
             self.callsign, lat, lon, self.station_beacon["comment"],
             self.station_beacon["icon"], position_report=True)
@@ -276,7 +280,15 @@ class APRSUploader:
                     time.time() - self._lastconnect > \
                     self.reconnect_minutes * 60:
                 self.disconnect()
+            if self._sock is None:
+                # connect lazily but BEFORE the first attempt — else a
+                # cold start burns attempt 1 on "not connected" (and
+                # retries=1 could never deliver a single packet)
                 self.connect()
+            # drain inbound igate chatter accumulated since the last
+            # upload: an unread keepalive stream eventually fills the
+            # TCP window on a long-lived connection
+            self.flush_rx()
             for attempt in range(self.retries):
                 try:
                     if self._sock is None:

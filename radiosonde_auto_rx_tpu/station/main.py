@@ -468,9 +468,16 @@ def run_station(args, config) -> int:
     # hostname key doubles as its path): like --replay, a clean EOF is
     # the end of the data, not an SDR failure to retry — retrying would
     # reopen `cat` at offset 0 and re-upload the same telemetry forever
-    max_retries = 0 if (args.replay or
-                        config.get("sdr_type") == "WIDEBAND") else 5
     sdr_settings = config.get("sdr_settings", {}) or {}
+
+    def _source_max_retries(i):
+        # the WIDEBAND no-retry rule must honor per-SDR [sdr_N]
+        # overrides: one replay-file source among live SDRs must not
+        # loop its file, and a live override under a global WIDEBAND
+        # default must still get its retries
+        st = {**config, **(sdr_settings.get(i + 1) or {})}
+        return 0 if (args.replay or
+                     st.get("sdr_type") == "WIDEBAND") else 5
 
     def _open_source(i):
         part = partitions[i]
@@ -580,6 +587,7 @@ def run_station(args, config) -> int:
                     sources[i].close()
                     sources[i] = None
                     ended[i] = True
+                    max_retries = _source_max_retries(i)
                     if max_retries:
                         retries[i] += 1
                         if retries[i] > max_retries:

@@ -202,6 +202,10 @@ class Station:
         self._ex_taps = {}           # n_dec -> wide-extraction prototype
         self._cur_wide = None        # current block's [2, T] planes
         self._wide_freqs = set()     # last scan's wideband candidates
+        self._defer_retunes = None   # fz -> target while a multi-block
+                                     # collect is in flight (a mid-batch
+                                     # rekey would orphan the old key's
+                                     # later blocks into a zombie task)
 
     # ------------------------------------------------------------------ #
 
@@ -417,11 +421,26 @@ class Station:
         fq_abs, kept = [], []
         self._wide_freqs = set()
         for s, f, wide_c in sorted(refined, reverse=True):
+            # re-apply never_scan AFTER the centroid refinement: a
+            # blocked interferer's power dominates a neighboring raster
+            # point's centroid window, walking that candidate right
+            # back onto the blocked frequency
+            if any(abs(f - b * 1e6) < q / 2
+                   for b in self.config["never_scan"]):
+                continue
             if all(abs(f - g) >= spacing for g in kept):
                 kept.append(f)
                 fq_abs.append(f)
                 if wide_c:
-                    self._wide_freqs.add(int(round(f)))
+                    # key by the SNAPPED candidate frequency — the
+                    # capture path reconstructs it as channel_center +
+                    # snapped offset (_cand_of_freq), so a sub-snap
+                    # (<1 kHz) carrier offset must round away here too
+                    # or the wide candidate misses the lookup and is
+                    # lost down the narrow path
+                    ci_w, off_w = self._cand_of_freq(f)
+                    self._wide_freqs.add(
+                        int(round(self._chan_center(ci_w) + off_w)))
         fq_abs.sort()
         # latest scan for the web UI (reference scan.py:47-54
         # pushes freq/power/peaks to the browser)
@@ -532,6 +551,10 @@ class Station:
                 # its own recentered row, appended after the PFB rows
                 row = n_chan + len(extra)
                 extra.append(float(prof.freqs[ci]) + off)
+                # the drift-retune anchor: this row is EXTRACTED at
+                # f_abs; a later detector freq_offset refinement bumps
+                # the task key but not the extraction
+                self._ext_off[row] = float(f_abs)
             row_alloc[row] = float(f_abs)
             self._offsets[row] = f_abs - (
                 self._chan_center(row) if row < n_chan else 0.0)
@@ -644,6 +667,7 @@ class Station:
             return []
         n_chan = prof.n_chan
         self._offsets[n_chan] = float(f_abs)     # virtual row
+        self._ext_off[n_chan] = float(f_abs)     # demod anchor = here
         # the detection row is already at WIDE_SCAN_FS — reuse it when
         # that IS the chain's rate (WXR*); other rates re-extract
         ready = int(CHAIN_TABLE[name].get("wide_fs", 0)) == WIDE_SCAN_FS
@@ -865,6 +889,19 @@ class Station:
 
     def _collect_sharded(self, step, prof, wide, chf, psd, B,
                          centers, steady=None) -> list:
+        # drift retunes are deferred for the whole batch (see
+        # _post_frames); the last block's measurement wins
+        self._defer_retunes = {}
+        try:
+            return self._collect_sharded_inner(step, prof, wide, chf,
+                                               psd, B, centers, steady)
+        finally:
+            pending, self._defer_retunes = self._defer_retunes, None
+            for fz, target in pending.items():
+                self._retune(fz, target)
+
+    def _collect_sharded_inner(self, step, prof, wide, chf, psd, B,
+                               centers, steady=None) -> list:
         from radiosonde_auto_rx_tpu.parallel.station_step import \
             EXPERT_TYPES
         n_chan = prof.n_chan
@@ -1098,6 +1135,7 @@ class Station:
         ext_cid = ext_cid or {}
         out = []
         cache = {}
+        meta = {}                    # pool ticket -> telemetry-tail args
         for name, j, cid in fused_items:
             if name not in cache:
                 soft, bits, stats = fused[name]
@@ -1119,16 +1157,45 @@ class Station:
             soft = None if afsk else soft_b[j]
             if afsk:
                 bits = 1 - bits
+            snr = None if eb is None else float(eb[j].max())
+            fr = None if resid is None else resid[j]
+            fd = self._f_demod_of(ci, fz, ext=ext_cid.get(cid, 0.0))
+            if self.frame_plane.workers > 0:
+                # same pool routing as decode_channels: the worker owns
+                # this task's decoder state — decoding inline here would
+                # create a SECOND decoder whose state (RS41 calibration
+                # subframes, DFM serial bits) diverges from the
+                # worker's on every speculation-miss block
+                model_name = MODEL_NAME.get(name, name)
+                ticket = self.frame_plane.decode(
+                    fz, model_name,
+                    self._decoder_kwargs(name, model_name), bits,
+                    None if soft is None else -soft)
+                meta[ticket] = (name, fz, snr, fr, fd)
+                continue
             try:
                 out.extend(self._decode_frames(
-                    fz, name, bits, soft,
-                    None if eb is None else float(eb[j].max()), None,
-                    f_resid=None if resid is None else resid[j],
-                    f_demod=self._f_demod_of(
-                        ci, fz, ext=ext_cid.get(cid, 0.0))))
+                    fz, name, bits, soft, snr, None,
+                    f_resid=fr, f_demod=fd))
             except Exception:
                 log.exception("decode failed on %.3f MHz (%s)",
                               fz / 1e6, name)
+        if meta:
+            results = self.frame_plane.gather()
+            for ticket in sorted(meta):
+                name, fz, snr, fr, fd = meta[ticket]
+                state = self.active.get(fz)
+                if state is None or state["type"] != name:
+                    state = dict(type=name, decoder=None,
+                                 last_ok=time.time())
+                    self.active[fz] = state
+                try:
+                    out.extend(self._post_frames(
+                        fz, state, results.get(ticket, []), snr, None,
+                        fr, fd))
+                except Exception:
+                    log.exception("telemetry tail failed on %.3f MHz "
+                                  "(%s)", fz / 1e6, name)
         return out
 
     def _process_collision(self, prof, planes, f_abs: float,
@@ -1156,6 +1223,7 @@ class Station:
             return []
         n_chan = prof.n_chan
         self._offsets = {n_chan: float(f_abs)}   # virtual row
+        self._ext_off[n_chan] = float(f_abs)     # demod anchor = here
         return self.decode_channels(row[None], [(0, det)], name,
                                     chan_map={0: n_chan})
 
@@ -1385,8 +1453,15 @@ class Station:
         the offset lookup for callers that track extraction offsets in
         cid-space (the sharded collect paths) — this is the drift-retune
         anchor, so every decode path must go through here."""
-        if wide_mode or real_ci >= self.profile().n_chan:
+        if wide_mode:
             return float(fz)
+        if real_ci >= self.profile().n_chan:
+            # appended/virtual rows record their absolute extraction
+            # frequency at _alloc time; fz may since have been bumped
+            # by a detector freq_offset refinement the extraction never
+            # saw, so anchoring on fz would overshoot the retune
+            base = self._ext_off.get(real_ci)
+            return float(fz) if base is None else float(base)
         if ext is None:
             ext = self._ext_off.get(real_ci, 0.0)
         return self._chan_center(real_ci) + float(ext)
@@ -1562,7 +1637,15 @@ class Station:
             anchor = fz if f_demod is None else f_demod
             target = round(anchor + f_resid, -2)
             if abs(target - fz) >= DRIFT_MIN_HZ:
-                self._retune(fz, target)
+                if self._defer_retunes is not None:
+                    # a multi-block collect decodes the SAME task once
+                    # per block under its policy-time key: rekeying now
+                    # would make the later blocks' _decode_frames miss
+                    # self.active[fz] and resurrect a duplicate task —
+                    # apply the retune after the whole batch instead
+                    self._defer_retunes[fz] = target
+                else:
+                    self._retune(fz, target)
         return out
 
     def _drop_channel(self, fz, encrypted=False):

@@ -103,7 +103,11 @@ _SERIAL_RES = {
     # _id) or the iMet-54's numeric serial
     "IMET5": re.compile(r"IMET5-\d+$"),
     "IMET": re.compile(r"IMET-[0-9A-F]{8}$"),
-    "MTS01": re.compile(r"MTS01-[0-9A-Za-z]+$"),
+    # MTS-01 serials are a free-form ASCII field from the frame (only
+    # NULs stripped, models/mts01.py:84) and may contain separators
+    # like '-' or '_': accept any printable non-space run, matching the
+    # reference's pass-on-type-alone behavior for this type
+    "MTS01": re.compile(r"MTS01-[!-~]+$"),
     "WXR": re.compile(r"WXR-\d+$"),
     # DFM-06 serials are HEXADECIMAL (dfm09mod prints %6X; models/dfm.py
     # :303), DFM-09/17/PS15 decimal — accept both

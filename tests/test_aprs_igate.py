@@ -152,3 +152,33 @@ def test_source_callsign_for_position_reports(igate):
     frames = igate.wait_frames(1)
     assert frames[0].startswith("S1234567>APRARX,SONDEGATE,TCPIP,qAR,N0CALL:")
     up.close()
+
+
+def test_cold_start_first_upload_delivers(igate):
+    """A fresh uploader (no explicit connect()) must deliver its FIRST
+    packet on attempt 1: the connection opens lazily before the attempt
+    loop, so even retries=1 delivers (round-5 review finding — the old
+    code burned attempt 1 on 'not connected' and with retries=1 could
+    never deliver anything)."""
+    up = _uploader(igate, retries=1)
+    assert up.upload_packet("COLD-START-PKT")
+    frames = igate.wait_frames(1)
+    assert any(f.endswith("COLD-START-PKT") for f in frames)
+    time.sleep(0.1)
+    assert len(igate.logins) == 1
+    up.close()
+
+
+def test_first_beacon_not_rate_limited_by_missing_fix(igate):
+    """A mobile station waiting for its first gpsd fix must beacon the
+    moment the fix arrives — the 0,0 guard must not stamp the beacon
+    rate limiter (round-5 review finding)."""
+    up = _uploader(igate, station_beacon=True, station_beacon_rate=30,
+                   station_beacon_position=(0.0, 0.0, 0.0))
+    up.beacon_station_position()      # no fix yet: refused, no stamp
+    assert not igate.wait_frames(1, timeout=0.3)
+    up.station_beacon["position"] = (-34.9, 138.6, 50.0)
+    up.beacon_station_position()      # fix arrived: beacon NOW
+    frames = igate.wait_frames(1)
+    assert frames, "first beacon was rate-limited by the missing fix"
+    up.close()

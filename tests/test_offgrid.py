@@ -241,3 +241,62 @@ def test_weathex_offgrid_default_station():
         fz = next(f for f in st.active
                   if st.active[f]["type"] == "WXR301")
         assert abs(fz - (CENTER + f0)) < 1.5e3
+
+
+def test_weathex_subsnap_offset_wide_lookup():
+    """A wideband candidate whose refined carrier is WITHIN the 1 kHz
+    recentering snap of a channel center must still route to the 96 kHz
+    wide scan: the _wide_freqs key must match the SNAPPED candidate
+    frequency the capture path reconstructs (round-5 review finding —
+    keys were stored unsnapped, so a sub-snap carrier missed the lookup
+    and fell down the narrow path where its ±25 kHz tones are lost)."""
+    sys.path.insert(0, "tests")
+    from test_station_chains import _wxr_bits
+    raw, (_, fld, want) = _wxr_bits()
+    idle = np.tile(np.array([1, 0], np.uint8), 200)
+    tail = np.tile(np.array([1, 0], np.uint8), 800)
+    tx = np.concatenate([idle, raw, tail])
+    f0 = FREQS[3] + 400.0          # sub-snap: < RECENTER_MIN_HZ
+    sig = gfsk_mod(tx, FS_WIDE, 4800, 2, f0, 50000, bt=1.0)
+    rng = np.random.default_rng(3)
+    T = 2_304_000
+    wide = (rng.standard_normal(T) +
+            1j * rng.standard_normal(T)).astype(np.complex64) * 0.002
+    wide[:len(sig)] += sig[:T]
+    planes = np.stack([wide.real, wide.imag]).astype(np.float32)
+    col = _Col()
+    st = Station(_cfg(use_mesh=False, wideband_sondes=True),
+                 exporters=[col], center_freq_hz=CENTER)
+    telems = st.process_capture(planes)
+    assert telems, "sub-snap wideband candidate was lost"
+    t = telems[-1]
+    assert t["type"] == "WXR301" and abs(t[fld] - want) < 1e-3
+
+
+def test_multiblock_batch_drift_single_task():
+    """Two captures of the same ~800 Hz-off sonde decoded in ONE
+    sharded collect batch: the drift retune must be deferred until the
+    whole batch is done — a mid-batch rekey orphans the second block's
+    decode, which then resurrects a duplicate task at the old key
+    (round-5 review finding)."""
+    col = _Col()
+    st = Station(_cfg(use_mesh=True), exporters=[col],
+                 center_freq_hz=CENTER)
+    T = 2_304_000
+    caps = []
+    for i in range(2):
+        rng = np.random.default_rng(81 + i)
+        wide = (rng.standard_normal(T) + 1j *
+                rng.standard_normal(T)).astype(np.complex64) * 0.002
+        sig = taper(gfsk_mod(rs41_bits(np.random.default_rng(77),
+                                       ts=RS41_TS + 20 + i),
+                             FS_WIDE, 4800, 2, FREQS[RS41_CH] + 800.0,
+                             4800, bt=0.5)[:T])
+        wide[:len(sig)] += sig
+        caps.append(np.stack([wide.real, wide.imag]).astype(np.float32))
+    telems = st.process_captures(caps)
+    assert telems, "no telemetry from the two-block batch"
+    assert len(st.active) == 1, \
+        f"mid-batch retune duplicated the task: {sorted(st.active)}"
+    fz = next(iter(st.active))
+    assert abs(fz - (CENTER + FREQS[RS41_CH] + 800)) < 1200, fz

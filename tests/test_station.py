@@ -96,6 +96,9 @@ def test_telemetry_filter_rejects():
     ("IMET5", "IMET5-54001234", "IMET5-54x01234"),
     ("IMET4", "IMET-1A2B3C4D", "IMET-NOTHEX0"),
     ("MTS01", "MTS01-T7654321", "MTS01-"),
+    # MTS-01 serials are free-form ASCII and may contain separators;
+    # whitespace is still rejected (breaks APRS object names)
+    ("MTS01", "MTS01-T-12_34", "MTS01-T 1234"),
     ("WXR301", "WXR-30112233", "WXR-30112x33"),
     ("MRZ", "MRZ-30112-21055", "MRZ-30112-xxxxx"),
     ("IMS100", "IMS100-2304123", "IMS100-xxxxxx"),
@@ -514,3 +517,27 @@ def test_config_scan_lists_parse():
     assert cfg["never_scan"] == [402.5, 403.2]
     assert cfg["always_decode"] == [404.1]
     assert cfg["only_scan"] == []
+
+
+def test_scan_never_scan_survives_centroid():
+    """never_scan must hold even when the blocked signal's power pulls
+    a NEIGHBORING raster point's centroid back onto the blocked
+    frequency (round-5 review finding: the raster prefilter alone let
+    a blocked 402.745 MHz interferer re-enter via the 402.740 raster
+    point's centroid window)."""
+    f_block = 402.745          # MHz, 5 kHz off the 10 kHz raster
+    st = Station({"capture_rate": 768_000, "num_channels": 16,
+                  "never_scan": [f_block]},
+                 exporters=[], center_freq_hz=402.5e6)
+    rng = np.random.default_rng(0)
+    T = 768_000
+    t = np.arange(T)
+    tone = 0.5 * np.exp(2j * np.pi * (f_block * 1e6 - 402.5e6) *
+                        t / 768_000)
+    wide = tone + (rng.standard_normal(T) +
+                   1j * rng.standard_normal(T)) * 0.002
+    planes = np.stack([wide.real, wide.imag]).astype(np.float32)
+    for ci, off in st.scan(planes):
+        fq = st._chan_center(ci) + off
+        assert abs(fq - f_block * 1e6) >= 5e3, \
+            f"blocked frequency re-entered the scan: {fq}"
