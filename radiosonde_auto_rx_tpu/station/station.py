@@ -206,6 +206,9 @@ class Station:
                                      # collect is in flight (a mid-batch
                                      # rekey would orphan the old key's
                                      # later blocks into a zombie task)
+        self._defer_scan = set()     # deferred keys whose target came
+                                     # from a scan peak (absorb): more
+                                     # current than any resid target
 
     # ------------------------------------------------------------------ #
 
@@ -495,7 +498,16 @@ class Station:
         for fz in list(self.active):
             if abs(fq - fz) <= spacing:
                 if abs(fq - fz) >= float(self.config["quantization"]):
-                    self._retune(fz, fq)
+                    if self._defer_retunes is not None:
+                        # mid-batch (multi-block collect policy): a
+                        # rekey now would orphan the blocks that
+                        # snapshotted fz before this one — defer, and
+                        # mark the target as scan-sourced so a staler
+                        # in-batch resid target cannot overwrite it
+                        self._defer_retunes[fz] = fq
+                        self._defer_scan.add(fz)
+                    else:
+                        self._retune(fz, fq)
                 return True
         return False
 
@@ -890,13 +902,16 @@ class Station:
     def _collect_sharded(self, step, prof, wide, chf, psd, B,
                          centers, steady=None) -> list:
         # drift retunes are deferred for the whole batch (see
-        # _post_frames); the last block's measurement wins
+        # _post_frames / _absorb_candidate); the freshest measurement
+        # wins (scan peaks over resids)
         self._defer_retunes = {}
+        self._defer_scan = set()
         try:
             return self._collect_sharded_inner(step, prof, wide, chf,
                                                psd, B, centers, steady)
         finally:
             pending, self._defer_retunes = self._defer_retunes, None
+            self._defer_scan = set()
             for fz, target in pending.items():
                 self._retune(fz, target)
 
@@ -1642,8 +1657,13 @@ class Station:
                     # per block under its policy-time key: rekeying now
                     # would make the later blocks' _decode_frames miss
                     # self.active[fz] and resurrect a duplicate task —
-                    # apply the retune after the whole batch instead
-                    self._defer_retunes[fz] = target
+                    # apply the retune after the whole batch instead.
+                    # A scan-peak (absorb) target wins over this resid
+                    # target: the resid is measured against the
+                    # policy-time extraction, which predates the move
+                    # the scan peak just reported
+                    if fz not in self._defer_scan:
+                        self._defer_retunes[fz] = target
                 else:
                     self._retune(fz, target)
         return out

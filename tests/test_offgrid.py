@@ -300,3 +300,37 @@ def test_multiblock_batch_drift_single_task():
         f"mid-batch retune duplicated the task: {sorted(st.active)}"
     fz = next(iter(st.active))
     assert abs(fz - (CENTER + FREQS[RS41_CH] + 800)) < 1200, fz
+
+
+def test_multiblock_batch_absorb_drift_single_task():
+    """A drifting sonde whose scan-peak absorb fires MID-batch (block 2
+    of one collect sees the moved peak while block 1 already snapshotted
+    the old task key): the absorb retune must also defer to the end of
+    the batch, or block 1's decode resurrects a duplicate task at the
+    old key (round-5 review follow-up to the deferred-retune fix)."""
+    col = _Col()
+    st = Station(_cfg(use_mesh=True), exporters=[col],
+                 center_freq_hz=CENTER)
+    T = 2_304_000
+
+    def _cap(off, seed, i):
+        rng = np.random.default_rng(seed)
+        wide = (rng.standard_normal(T) + 1j *
+                rng.standard_normal(T)).astype(np.complex64) * 0.002
+        sig = taper(gfsk_mod(rs41_bits(np.random.default_rng(77),
+                                       ts=RS41_TS + 60 + i),
+                             FS_WIDE, 4800, 2, FREQS[RS41_CH] + off,
+                             4800, bt=0.5)[:T])
+        wide[:len(sig)] += sig
+        return np.stack([wide.real, wide.imag]).astype(np.float32)
+
+    # batch 1 establishes the task at +14 kHz
+    assert st.process_captures([_cap(14e3, 101, 0)])
+    assert len(st.active) == 1
+    # batch 2: block 1 still at +14 kHz, block 2 moved to +26 kHz —
+    # the second block's scan peak absorbs into the active task
+    st.process_captures([_cap(14e3, 102, 1), _cap(26e3, 103, 2)])
+    assert len(st.active) == 1, \
+        f"mid-batch absorb retune duplicated the task: {sorted(st.active)}"
+    fz = next(iter(st.active))
+    assert abs(fz - (CENTER + FREQS[RS41_CH] + 26e3)) < 2e3, fz
